@@ -1,0 +1,345 @@
+"""MObI UNet: SD-1.x eps-prediction UNet with reference cross-attention,
+bbox-adapter attention, and camera<->lidar cross-modal attention.
+
+Behavioral parity with /root/reference/ldm/modules/diffusionmodules/openaimodel.py:528-898
+(UNetModel) and /root/reference/ldm/modules/attention.py:153-313
+(CrossAttention / BasicTransformerBlock / SpatialTransformer), re-designed
+for TPU:
+
+  * NHWC layout throughout; attention over [B, N, C] token tensors.
+  * The camera/lidar pairing uses the interleave contract of the reference
+    (batch [cam0, lid0, cam1, lid1, ...], ldm/util.py:213-221): convs and
+    norms are batch-elementwise so interleaving is free; cross-modal
+    attention reshapes (2B, N, C) -> (B, 2, N, C) and swaps the modality
+    axis — a pure view change, never crossing a batch shard as long as each
+    device holds whole pairs.
+  * Zero-initialized adapter connectors (attention.py:68-74) make the bbox
+    and cross-modal branches identity at initialization.
+  * Module names contain "cond_adapter" / "cross_modal" so the reference's
+    adapter-only trainability rule (ddpm.py:1686-1698) is a name predicate.
+
+Config for MObI-512 (configs/mobi_nusc_512.yaml:63-82): in 9ch, out 4ch,
+model_channels 320, channel_mult (1,2,4,4), 2 res blocks, attention at
+ds 1/2/4, 8 heads, context_dim 768, transformer depth 1.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from mobi_tpu.models.layers import Conv2d, Dense, GroupNorm, LayerNorm, swish
+from mobi_tpu.ops.attention import dot_product_attention
+from mobi_tpu.ops.schedules import timestep_embedding
+
+Array = jnp.ndarray
+
+
+class CrossAttention(nn.Module):
+    """Multi-head attention; self-attention when context is None
+    (attention.py:153-194)."""
+
+    heads: int
+    dim_head: int
+    attn_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Optional[Array] = None) -> Array:
+        inner = self.heads * self.dim_head
+        ctx = x if context is None else context
+        q = Dense(inner, use_bias=False, dtype=self.dtype, name="to_q")(x)
+        k = Dense(inner, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
+        v = Dense(inner, use_bias=False, dtype=self.dtype, name="to_v")(ctx)
+        out = dot_product_attention(
+            q, k, v, num_heads=self.heads, backend=self.attn_backend
+        )
+        return Dense(x.shape[-1], dtype=self.dtype, name="to_out")(out)
+
+
+class GEGLUFeedForward(nn.Module):
+    """GEGLU MLP (attention.py:38-65), mult=4."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        dim = x.shape[-1]
+        inner = dim * self.mult
+        proj = Dense(inner * 2, dtype=self.dtype, name="proj")(x)
+        a, gate = jnp.split(proj, 2, axis=-1)
+        h = a * nn.gelu(gate, approximate=False)
+        return Dense(dim, dtype=self.dtype, name="out")(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """self-attn -> CLIP cross-attn -> bbox adapter -> cross-modal -> FF
+    (attention.py:197-266)."""
+
+    heads: int
+    dim_head: int
+    bbox_cond: bool = False
+    multimodal: bool = False
+    attn_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        attn = dict(heads=self.heads, dim_head=self.dim_head, dtype=self.dtype)
+
+        h = LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = CrossAttention(
+            attn_backend=self.attn_backend, name="attn1", **attn
+        )(h) + x
+
+        # CLIP reference token only (attention.py:235: context[:, [0]])
+        h = LayerNorm(dtype=self.dtype, name="norm2")(x)
+        x = CrossAttention(name="attn2", **attn)(h, context[:, :1]) + x
+
+        if self.bbox_cond:
+            h = LayerNorm(dtype=self.dtype, name="cond_adapter_norm")(x)
+            h = CrossAttention(name="cond_adapter_attn", **attn)(h, context)
+            x = Dense(
+                x.shape[-1], zero_init=True, dtype=self.dtype,
+                name="cond_adapter_connector",
+            )(h) + x
+
+        if self.multimodal:
+            b2, n, c = x.shape
+            pair = x.reshape(b2 // 2, 2, n, c)
+            x_camera, x_lidar = pair[:, 0], pair[:, 1]
+
+            h = LayerNorm(dtype=self.dtype, name="cross_modal_norm_camera")(x_camera)
+            h = CrossAttention(
+                attn_backend=self.attn_backend, name="cross_modal_attn_camera",
+                **attn,
+            )(h, x_lidar)
+            x_camera = Dense(
+                c, zero_init=True, dtype=self.dtype,
+                name="cross_modal_connector_camera",
+            )(h) + x_camera
+
+            # the lidar branch attends to the ALREADY-UPDATED camera tokens
+            # (attention.py:256-261 runs after the camera update)
+            h = LayerNorm(dtype=self.dtype, name="cross_modal_norm_lidar")(x_lidar)
+            h = CrossAttention(
+                attn_backend=self.attn_backend, name="cross_modal_attn_lidar",
+                **attn,
+            )(h, x_camera)
+            x_lidar = Dense(
+                c, zero_init=True, dtype=self.dtype,
+                name="cross_modal_connector_lidar",
+            )(h) + x_lidar
+
+            x = jnp.stack([x_camera, x_lidar], axis=1).reshape(b2, n, c)
+
+        h = LayerNorm(dtype=self.dtype, name="norm3")(x)
+        x = GEGLUFeedForward(dtype=self.dtype, name="ff")(h) + x
+        return x
+
+
+class SpatialTransformer(nn.Module):
+    """GN -> 1x1 proj_in -> transformer blocks -> zero 1x1 proj_out -> +x
+    (attention.py:269-313)."""
+
+    heads: int
+    dim_head: int
+    depth: int = 1
+    bbox_cond: bool = False
+    multimodal: bool = False
+    attn_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, context: Array) -> Array:
+        b, hgt, wdt, c = x.shape
+        inner = self.heads * self.dim_head
+        x_in = x
+        x = GroupNorm(eps=1e-6, dtype=self.dtype, name="norm")(x)
+        x = Conv2d(inner, (1, 1), dtype=self.dtype, name="proj_in")(x)
+        x = x.reshape(b, hgt * wdt, inner)
+        for d in range(self.depth):
+            x = BasicTransformerBlock(
+                heads=self.heads,
+                dim_head=self.dim_head,
+                bbox_cond=self.bbox_cond,
+                multimodal=self.multimodal,
+                attn_backend=self.attn_backend,
+                dtype=self.dtype,
+                name=f"block_{d}",
+            )(x, context)
+        x = x.reshape(b, hgt, wdt, inner)
+        x = Conv2d(c, (1, 1), zero_init=True, dtype=self.dtype, name="proj_out")(x)
+        return x + x_in
+
+
+class ResBlock(nn.Module):
+    """UNet residual block with timestep injection (openaimodel.py:163-275).
+    GroupNorm eps follows torch default 1e-5 here."""
+
+    out_channels: Optional[int] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, emb: Array) -> Array:
+        in_ch = x.shape[-1]
+        out_ch = self.out_channels or in_ch
+        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="in_norm")(x)
+        h = swish(h)
+        h = Conv2d(out_ch, (3, 3), dtype=self.dtype, name="in_conv")(h)
+        e = Dense(out_ch, dtype=self.dtype, name="emb_proj")(swish(emb))
+        h = h + e[:, None, None, :]
+        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="out_norm")(h)
+        h = swish(h)
+        h = Conv2d(out_ch, (3, 3), zero_init=True, dtype=self.dtype, name="out_conv")(h)
+        if in_ch != out_ch:
+            x = Conv2d(out_ch, (1, 1), dtype=self.dtype, name="skip_connection")(x)
+        return x + h
+
+
+class UNetDownsample(nn.Module):
+    """Stride-2 conv with symmetric padding 1 (openaimodel.py:134-160)."""
+
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        return Conv2d(
+            self.out_channels, (3, 3), strides=(2, 2),
+            padding=((1, 1), (1, 1)), dtype=self.dtype, name="op",
+        )(x)
+
+
+class UNetUpsample(nn.Module):
+    out_channels: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from mobi_tpu.models.layers import upsample_nearest_2x
+
+        x = upsample_nearest_2x(x)
+        return Conv2d(self.out_channels, (3, 3), dtype=self.dtype, name="conv")(x)
+
+
+class UNetModel(nn.Module):
+    """Full UNet (openaimodel.py:528-898), NHWC.
+
+    Input x: [B, H, W, in_channels] (9 = 4 noisy + 4 inpaint latent + 1 mask),
+    t: [B] int/float timesteps, context: [B, n_tokens, context_dim].
+    When `use_camera and use_lidar`, B is even and interleaved
+    [cam0, lid0, cam1, lid1, ...].
+    """
+
+    in_channels: int = 9
+    model_channels: int = 320
+    out_channels: int = 4
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    transformer_depth: int = 1
+    context_dim: int = 768
+    bbox_cond: bool = True
+    use_camera: bool = True
+    use_lidar: bool = True
+    use_checkpoint: bool = False
+    attn_backend: str = "auto"
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def multimodal(self) -> bool:
+        return self.use_camera and self.use_lidar
+
+    @nn.compact
+    def __call__(self, x: Array, timesteps: Array, context: Array) -> Array:
+        t_emb = timestep_embedding(timesteps, self.model_channels)
+        emb = Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_embed_0"
+        )(t_emb.astype(self.dtype))
+        emb = Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_embed_2"
+        )(swish(emb))
+
+        def spatial_transformer(ch: int, name: str) -> SpatialTransformer:
+            return SpatialTransformer(
+                heads=self.num_heads,
+                dim_head=ch // self.num_heads,
+                depth=self.transformer_depth,
+                bbox_cond=self.bbox_cond,
+                multimodal=self.multimodal,
+                attn_backend=self.attn_backend,
+                dtype=self.dtype,
+                name=name,
+            )
+
+        h = x.astype(self.dtype)
+        context = context.astype(self.dtype)
+
+        hs = []
+        h = Conv2d(
+            self.model_channels, (3, 3), dtype=self.dtype, name="input_blocks_0_conv"
+        )(h)
+        hs.append(h)
+
+        ch = self.model_channels
+        ds = 1
+        block_idx = 1
+        input_chans = [ch]
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = ResBlock(
+                    ch, dtype=self.dtype, name=f"input_blocks_{block_idx}_res"
+                )(h, emb)
+                if ds in self.attention_resolutions:
+                    h = spatial_transformer(
+                        ch, f"input_blocks_{block_idx}_attn"
+                    )(h, context)
+                hs.append(h)
+                input_chans.append(ch)
+                block_idx += 1
+            if level != len(self.channel_mult) - 1:
+                h = UNetDownsample(
+                    ch, dtype=self.dtype, name=f"input_blocks_{block_idx}_down"
+                )(h)
+                hs.append(h)
+                input_chans.append(ch)
+                block_idx += 1
+                ds *= 2
+
+        h = ResBlock(dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = spatial_transformer(ch, "middle_block_1")(h, context)
+        h = ResBlock(dtype=self.dtype, name="middle_block_2")(h, emb)
+
+        block_idx = 0
+        for level, mult in reversed(list(enumerate(self.channel_mult))):
+            for i in range(self.num_res_blocks + 1):
+                skip = hs.pop()
+                input_chans.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                ch = self.model_channels * mult
+                h = ResBlock(
+                    ch, dtype=self.dtype, name=f"output_blocks_{block_idx}_res"
+                )(h, emb)
+                if ds in self.attention_resolutions:
+                    h = spatial_transformer(
+                        ch, f"output_blocks_{block_idx}_attn"
+                    )(h, context)
+                if level and i == self.num_res_blocks:
+                    h = UNetUpsample(
+                        ch, dtype=self.dtype, name=f"output_blocks_{block_idx}_up"
+                    )(h)
+                    ds //= 2
+                block_idx += 1
+
+        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="out_norm")(h)
+        h = swish(h)
+        h = Conv2d(
+            self.out_channels, (3, 3), zero_init=True, dtype=self.dtype,
+            name="out_conv",
+        )(h)
+        return h.astype(x.dtype)

@@ -1,0 +1,94 @@
+"""Multi-head attention primitives.
+
+`dot_product_attention` is the single attention entry point used by the UNet
+transformer blocks, the VAE mid attention, and the CLIP tower. It computes
+softmax in float32 regardless of the activation dtype (matching the
+reference's fp16-safe attention, /root/reference/ldm/modules/attention.py:181-192
+and openaimodel.py:480-487) and is written so XLA maps the two contractions
+onto the MXU. A Pallas flash-attention kernel (mobi_tpu/ops/flash_attention.py)
+can be selected for long self-attention sequences.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+_FLASH_MIN_SEQ = 1024  # below this XLA's fused attention is already fine
+
+
+def split_heads(x: Array, num_heads: int) -> Array:
+    """[B, N, H*D] -> [B, N, H, D]"""
+    b, n, hd = x.shape
+    return x.reshape(b, n, num_heads, hd // num_heads)
+
+
+def merge_heads(x: Array) -> Array:
+    """[B, N, H, D] -> [B, N, H*D]"""
+    b, n, h, d = x.shape
+    return x.reshape(b, n, h * d)
+
+
+def dot_product_attention(
+    q: Array,
+    k: Array,
+    v: Array,
+    *,
+    num_heads: int,
+    mask: Optional[Array] = None,
+    backend: str = "auto",
+) -> Array:
+    """Attention over packed-head inputs.
+
+    Args:
+      q: [B, Nq, H*D]
+      k, v: [B, Nk, H*D]
+      num_heads: number of heads H.
+      mask: optional [B, Nq, Nk] boolean mask (True = keep).
+      backend: "auto" | "xla" | "flash".
+
+    Returns: [B, Nq, H*D]
+    """
+    qh = split_heads(q, num_heads)
+    kh = split_heads(k, num_heads)
+    vh = split_heads(v, num_heads)
+
+    use_flash = backend == "flash" or (
+        backend == "auto"
+        and mask is None
+        and qh.shape[1] >= _FLASH_MIN_SEQ
+        and qh.shape[1] == kh.shape[1]
+        and _flash_available()
+    )
+    if use_flash:
+        from mobi_tpu.ops.flash_attention import flash_attention
+
+        out = flash_attention(qh, kh, vh)
+    else:
+        out = _xla_attention(qh, kh, vh, mask)
+    return merge_heads(out)
+
+
+@functools.cache
+def _flash_available() -> bool:
+    return jax.default_backend() == "tpu"
+
+
+def _xla_attention(
+    q: Array, k: Array, v: Array, mask: Optional[Array]
+) -> Array:
+    """[B, N, H, D] attention with fp32 softmax."""
+    dim_head = q.shape[-1]
+    scale = dim_head**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if mask is not None:
+        big_neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(mask[:, None, :, :], logits, big_neg)
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", weights, v)
