@@ -1,0 +1,118 @@
+"""End-to-end inference benchmark: joint camera+lidar 512x512 DDIM-50
+object inpaints per hour per chip.
+
+Measures the full production path of the reference's inference test bench
+(/root/reference/scripts/inference_test_bench.py:407-461): CLIP+bbox
+conditioning encode, camera+lidar VAE encodes of GT/inpaint frames, the
+50-step CFG-doubled UNet denoising scan, and both VAE decodes — per inpainted
+object (one camera frame + one range view each).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "inpaints/hour/chip", "vs_baseline": N}
+vs_baseline is relative to the BASELINE.json north-star target of 1000
+inpaints/hour/v5e-chip.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+from mobi_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+import numpy as np
+
+BATCH_PAIRS = 4        # (camera, lidar) pairs per device batch
+STEPS = 50
+GUIDANCE = 5.0
+TARGET_PER_HOUR = 1000.0
+
+
+def build():
+    from mobi_tpu.models.diffusion import MobiConfig, MobiDiffusion
+
+    cfg = MobiConfig(dtype=jnp.bfloat16)
+    model = MobiDiffusion(cfg)
+    rng = jax.random.PRNGKey(0)
+    params = model.init_params(rng)
+    return model, params
+
+
+def make_batch(b: int):
+    rng = np.random.default_rng(0)
+    f32 = np.float32
+
+    def u(*shape):
+        return jnp.asarray(rng.uniform(-1, 1, shape).astype(f32))
+
+    return {
+        "image": {
+            "GT": u(b, 512, 512, 3),
+            "inpaint_image": u(b, 512, 512, 3),
+            "inpaint_mask": jnp.ones((b, 512, 512, 1), jnp.float32),
+            "cond": {
+                "ref_image": u(b, 224, 224, 3),
+                "ref_bbox": jnp.asarray(
+                    rng.uniform(0, 1, (b, 8, 3)).astype(f32)
+                ),
+            },
+        },
+        "lidar": {
+            "range_data": u(b, 512, 512, 2),
+            "range_data_inpaint": u(b, 512, 512, 2),
+            "range_mask": jnp.ones((b, 512, 512, 1), jnp.float32),
+            "cond": {
+                "ref_bbox": jnp.asarray(
+                    rng.uniform(0, 1, (b, 8, 3)).astype(f32)
+                ),
+            },
+        },
+    }
+
+
+def main():
+    model, params = build()
+    batch = make_batch(BATCH_PAIRS)
+
+    @jax.jit
+    def inpaint(params, batch, rng):
+        k1, k2 = jax.random.split(rng)
+        data = model.get_input(params, batch, k1, encode_cond=True)
+        latents = model.sample(
+            params, data, k2, num_steps=STEPS, guidance_scale=GUIDANCE,
+            sampler="ddim",
+        )
+        return model.decode_sample(
+            params, latents, data.get("z_lidar_full"), data.get("lidar_geom")
+        )
+
+    # warmup / compile
+    out = inpaint(params, batch, jax.random.PRNGKey(1))
+    jax.block_until_ready(out)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        out = inpaint(params, batch, jax.random.PRNGKey(2 + i))
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / n_iters
+
+    inpaints_per_sec = BATCH_PAIRS / dt
+    per_hour = inpaints_per_sec * 3600.0
+    print(
+        json.dumps(
+            {
+                "metric": "joint cam+lidar 512x512 DDIM-50 CFG-5 inpaints (full pipeline: cond encode + 2x VAE enc/dec + UNet scan)",
+                "value": round(per_hour, 1),
+                "unit": "inpaints/hour/chip",
+                "vs_baseline": round(per_hour / TARGET_PER_HOUR, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

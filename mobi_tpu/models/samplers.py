@@ -1,0 +1,167 @@
+"""DDIM and PLMS samplers as single `lax.scan` loops.
+
+Reference behavior: /root/reference/ldm/models/diffusion/ddim.py:114-213 and
+plms.py:115-239. TPU-first re-design:
+
+  * the per-step (t, a_t, a_prev, sqrt(1-a_t), sigma) values are pre-stacked
+    host-side into `SamplerTables` and scanned over — no host sync, no
+    data-dependent indexing;
+  * classifier-free guidance doubles the batch inside the scanned step
+    (uncond first, cond second, matching ddim.py:180-184);
+  * the 5 conditioning channels (4 inpaint latent + 1 mask) are re-concatenated
+    to the noisy 4-channel state every step (ddim.py:170-176);
+  * PLMS's multistep history is a fixed [3, ...] ring carried through the scan,
+    blended with a precomputed Adams-Bashforth coefficient table
+    (plms.py:221-235); step 0's pseudo-improved-Euler double evaluation is an
+    unrolled prologue.
+
+`model_fn(x9, t, context) -> eps4` is the jittable denoiser (UNet apply with
+bound params); callers jit the whole sampler.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mobi_tpu.ops.schedules import SamplerTables
+
+Array = jnp.ndarray
+ModelFn = Callable[[Array, Array, Array], Array]
+
+
+def _guided_eps(
+    model_fn: ModelFn,
+    x9: Array,
+    t: Array,
+    cond: Array,
+    uncond: Optional[Array],
+    scale: float,
+) -> Array:
+    if uncond is None or scale == 1.0:
+        return model_fn(x9, t, cond)
+    x_in = jnp.concatenate([x9, x9], axis=0)
+    t_in = jnp.concatenate([t, t], axis=0)
+    c_in = jnp.concatenate([uncond, cond], axis=0)
+    eps_all = model_fn(x_in, t_in, c_in)
+    eps_uncond, eps_cond = jnp.split(eps_all, 2, axis=0)
+    return eps_uncond + scale * (eps_cond - eps_uncond)
+
+
+def _ddim_update(x: Array, eps: Array, a_t, a_prev, sqrt_1m_at, sigma, noise):
+    """x_{t-1} from eps prediction (ddim.py:200-212)."""
+    pred_x0 = (x - sqrt_1m_at * eps) / jnp.sqrt(a_t)
+    dir_xt = jnp.sqrt(1.0 - a_prev - sigma**2) * eps
+    return jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise, pred_x0
+
+
+def ddim_sample(
+    model_fn: ModelFn,
+    tables: SamplerTables,
+    rng: jax.Array,
+    x_T: Array,
+    cond: Array,
+    rest: Array,
+    uncond: Optional[Array] = None,
+    guidance_scale: float = 1.0,
+    temperature: float = 1.0,
+) -> Array:
+    """DDIM sampling loop.
+
+    Args:
+      x_T: [B, h, w, 4] initial noise.
+      cond: [B, n_tokens, D] conditioning tokens.
+      rest: [B, h, w, 5] the static conditioning channels.
+      uncond: unconditional tokens for CFG.
+
+    Returns the final denoised latent [B, h, w, 4].
+    """
+    eta_zero = tables.eta_is_zero
+
+    def step(carry, per_step):
+        x, key = carry
+        t, a_t, a_prev, sqrt_1m_at, sigma = per_step
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+        if eta_zero:
+            noise = jnp.zeros_like(x)
+        else:
+            key, sub = jax.random.split(key)
+            noise = jax.random.normal(sub, x.shape, dtype=x.dtype) * temperature
+        x, _ = _ddim_update(x, eps, a_t, a_prev, sqrt_1m_at, sigma, noise)
+        return (x, key), None
+
+    per_step = (
+        tables.timesteps,
+        tables.alphas,
+        tables.alphas_prev,
+        tables.sqrt_one_minus_alphas,
+        tables.sigmas,
+    )
+    (x, _), _ = jax.lax.scan(step, (x_T, rng), per_step)
+    return x
+
+
+def plms_sample(
+    model_fn: ModelFn,
+    tables: SamplerTables,
+    x_T: Array,
+    cond: Array,
+    rest: Array,
+    uncond: Optional[Array] = None,
+    guidance_scale: float = 1.0,
+) -> Array:
+    """PLMS (pseudo linear multistep) sampling loop; eta is always 0.
+
+    Step 0 (plms.py:221-226): eps at t0, provisional DDIM update, second eps
+    at t1, average. Steps >=1: Adams-Bashforth blend of the current eps with
+    up to 3 history entries via the precomputed coefficient table.
+    """
+
+    def eval_eps(x, t_scalar):
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        tb = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
+        return _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+
+    def update(x, eps, idx):
+        a_t = tables.alphas[idx]
+        a_prev = tables.alphas_prev[idx]
+        sqrt_1m = tables.sqrt_one_minus_alphas[idx]
+        return _ddim_update(x, eps, a_t, a_prev, sqrt_1m, 0.0, 0.0)[0]
+
+    # ---- prologue: step 0, pseudo improved Euler ----
+    e_t = eval_eps(x_T, tables.timesteps[0])
+    x_prev = update(x_T, e_t, 0)
+    e_t_next = eval_eps(x_prev, tables.timesteps_next[0])
+    e_prime = 0.5 * (e_t + e_t_next)
+    x = update(x_T, e_prime, 0)
+    hist = jnp.stack([e_t, jnp.zeros_like(e_t), jnp.zeros_like(e_t)])
+
+    # ---- steps 1..S-1: scanned multistep ----
+    def step(carry, per_step):
+        x, hist = carry
+        t, a_t, a_prev, sqrt_1m_at, coeffs = per_step
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+        e_prime = (
+            coeffs[0] * eps
+            + coeffs[1] * hist[0]
+            + coeffs[2] * hist[1]
+            + coeffs[3] * hist[2]
+        )
+        x, _ = _ddim_update(x, e_prime, a_t, a_prev, sqrt_1m_at, 0.0, 0.0)
+        hist = jnp.stack([eps, hist[0], hist[1]])
+        return (x, hist), None
+
+    per_step = (
+        tables.timesteps[1:],
+        tables.alphas[1:],
+        tables.alphas_prev[1:],
+        tables.sqrt_one_minus_alphas[1:],
+        tables.plms_coeffs,
+    )
+    (x, _), _ = jax.lax.scan(step, (x, hist), per_step)
+    return x

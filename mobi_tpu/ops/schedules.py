@@ -212,6 +212,7 @@ class SamplerTables:
     sigmas: Array
     plms_coeffs: Array
     num_steps: int
+    eta_is_zero: bool = True
 
     @classmethod
     def create(
@@ -243,6 +244,7 @@ class SamplerTables:
             sigmas=f(sigmas[order]),
             plms_coeffs=f(make_plms_coeffs(len(ddim_ts))),
             num_steps=len(ddim_ts),
+            eta_is_zero=(eta == 0.0),
         )
 
 

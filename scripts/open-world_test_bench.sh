@@ -1,0 +1,15 @@
+#!/usr/bin/env bash
+# Open-world bench (reference scripts/open-world_test_bench.sh): all-classes
+# config incl. held-out classes + lidar FRD.
+set -e
+CKPT=${CKPT:?set CKPT}
+OUT=${OUT:-results/open_world}
+python scripts/inference_test_bench.py \
+    --config configs/mobi_nusc_all-classes_512.yaml --ckpt "$CKPT" \
+    --outdir "$OUT" \
+    --plms --ddim_steps 50 --scale 5 --n_samples 4 --seed 321 \
+    --save_samples --save_visualisations \
+    data.params.test.params.num_samples_per_class=100
+python eval_tool/lidar/frd_score.py \
+    --path_orig "$OUT/lidar/range_orig" --path_pred "$OUT/lidar/range_pred" \
+    > "$OUT/frd.txt" || true

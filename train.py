@@ -1,0 +1,243 @@
+"""MObI-TPU training driver.
+
+CLI-parity with the reference /root/reference/main.py:451-729:
+
+  python train.py --base configs/mobi_nusc_512.yaml \
+      [--pretrained_model checkpoints/model.ckpt] [--resume LOGDIR] \
+      [--seed 23] [--scale_lr] [--max_steps N] [--logdir logs] \
+      [name.dotted.key=value ...]
+
+TPU-native execution model: one SPMD program over a dp x fsdp mesh; gradient
+all-reduce is implicit in the sharded jit; host data pipeline feeds
+fixed-shape NHWC numpy batches. LR scaling rule mirrors main.py:690-694
+(lr = accumulate * num_devices * batch_size * base_lr when --scale_lr).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from datetime import datetime
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base", nargs="*", default=[], help="base config yaml(s)")
+    p.add_argument("--pretrained_model", default=None,
+                   help="torch .ckpt or orbax dir to initialize from")
+    p.add_argument("--resume", default=None, help="logdir to resume from")
+    p.add_argument("--logdir", default="logs")
+    p.add_argument("--name", default=None)
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--scale_lr", action="store_true")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    p.add_argument("--save_every", type=int, default=1000)
+    p.add_argument("--val_every", type=int, default=1000)
+    p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--save_top_k", type=int, default=5)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--fsdp", type=int, default=1)
+    args, unknown = p.parse_known_args(argv)
+    return args, unknown
+
+
+def build_datasets(cfg, split_keys=("train", "validation")):
+    from mobi_tpu.utils.config import instantiate_from_config
+
+    data_params = cfg["data"]["params"]
+    out = {}
+    for k in split_keys:
+        if k in data_params and data_params[k]:
+            out[k] = instantiate_from_config(data_params[k])
+    return out, data_params.get("batch_size", 2)
+
+
+def main(argv=None):
+    args, overrides = parse_args(argv)
+
+    import jax
+
+    from mobi_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from mobi_tpu.data.loader import PrefetchLoader
+    from mobi_tpu.models.diffusion import MobiDiffusion
+    from mobi_tpu.parallel.mesh import create_mesh, shard_batch, shard_params
+    from mobi_tpu.training import create_train_state, make_train_step
+    from mobi_tpu.utils.config import load_config, mobi_config_from_yaml
+    from mobi_tpu.checkpoint import (
+        CheckpointManager,
+        install_crash_save,
+        load_torch_checkpoint,
+        restore_partial,
+    )
+
+    if args.resume:
+        logdir = args.resume
+        cfg_dir = os.path.join(logdir, "configs")
+        bases = sorted(
+            os.path.join(cfg_dir, f) for f in os.listdir(cfg_dir) if f.endswith(".yaml")
+        )
+        cfg = load_config(bases, overrides)
+    else:
+        cfg = load_config(args.base, overrides)
+        now = datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+        name = args.name or os.path.splitext(os.path.basename(args.base[0]))[0]
+        logdir = os.path.join(args.logdir, f"{now}_{name}")
+        os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
+        import yaml
+
+        with open(os.path.join(logdir, "configs", "merged.yaml"), "w") as f:
+            yaml.safe_dump(cfg, f)
+
+    mcfg = mobi_config_from_yaml(cfg)
+    model = MobiDiffusion(mcfg)
+
+    base_lr = cfg["model"].get("base_learning_rate", 8.0e-5)
+    datasets, batch_size = build_datasets(cfg)
+    n_devices = len(jax.devices())
+    if args.scale_lr:
+        base_lr = args.accumulate_grad_batches * n_devices * batch_size * base_lr
+        print(f"LR scaled to {base_lr} "
+              f"(accum {args.accumulate_grad_batches} x dev {n_devices} x bs {batch_size})")
+
+    rng = jax.random.PRNGKey(args.seed)
+    state, tx = create_train_state(
+        model, rng, base_lr=base_lr,
+        accumulate_steps=args.accumulate_grad_batches,
+        use_ema=cfg["model"]["params"].get("use_ema", False),
+    )
+
+    ckpt_dir = os.path.join(logdir, "checkpoints")
+    mgr = CheckpointManager(ckpt_dir, max_to_keep=args.save_top_k,
+                            monitor="val/loss_simple")
+    if args.resume and mgr.latest_step() is not None:
+        state = mgr.restore(template=state)
+        print(f"Resumed from step {int(state.step)}")
+    elif args.pretrained_model:
+        print(f"Loading pretrained weights from {args.pretrained_model}")
+        sd = load_torch_checkpoint(args.pretrained_model)
+        from mobi_tpu.import_torch import import_mobi_checkpoint
+
+        imported = import_mobi_checkpoint(
+            sd,
+            channel_mult=tuple(mcfg.unet_channel_mult),
+            num_res_blocks=mcfg.unet_num_res_blocks,
+            attention_resolutions=tuple(mcfg.unet_attention_resolutions),
+            vae_resolution=mcfg.image_height,
+        )
+        params = restore_partial(state.params, imported)
+        state = state._replace(params=jax.tree_util.tree_map(
+            lambda a: np.asarray(a), params))
+
+    mesh = create_mesh(fsdp=args.fsdp)
+    state = state._replace(
+        params=shard_params(mesh, state.params),
+        opt_state=jax.device_put(state.opt_state),
+    )
+    step_fn = jax.jit(make_train_step(
+        model, tx, use_ema=cfg["model"]["params"].get("use_ema", False)))
+
+    train_loader = PrefetchLoader(
+        datasets["train"], batch_size, shuffle=True,
+        num_threads=args.num_workers, seed=args.seed,
+    )
+    val_loader = (
+        PrefetchLoader(datasets["validation"], batch_size, shuffle=False,
+                       num_threads=args.num_workers)
+        if "validation" in datasets else None
+    )
+
+    def strip_host_fields(batch):
+        keep_img = {"GT", "inpaint_image", "inpaint_mask", "cond"}
+        keep_lid = {"range_data", "range_data_inpaint", "range_mask", "cond"}
+        out = {
+            "image": {k: v for k, v in batch["image"].items() if k in keep_img},
+            "lidar": {k: v for k, v in batch["lidar"].items() if k in keep_lid},
+        }
+        out["image"]["cond"] = dict(batch["image"]["cond"])
+        out["lidar"]["cond"] = {"ref_bbox": batch["lidar"]["cond"]["ref_bbox"]}
+        return out
+
+    metrics_path = os.path.join(logdir, "metrics.jsonl")
+    crash_saved = {"done": False}
+
+    def crash_save():
+        if not crash_saved["done"]:
+            mgr.save(int(state.step), jax.device_get(state))
+            mgr.wait()
+            crash_saved["done"] = True
+            print("crash checkpoint written")
+
+    install_crash_save(crash_save)
+
+    step = int(state.step)
+    max_steps = args.max_steps or (10**12)
+    epoch = 0
+    t_last = time.time()
+    try:
+        while step < max_steps and (args.max_epochs is None or epoch < args.max_epochs):
+            for batch in train_loader:
+                batch_dev = shard_batch(mesh, strip_host_fields(batch))
+                rng, sub = jax.random.split(rng)
+                with mesh:
+                    state, m = step_fn(state, batch_dev, sub)
+                step += 1
+                if step % args.log_every == 0:
+                    m = {k: float(v) for k, v in m.items()}
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    m.update(step=step, epoch=epoch,
+                             imgs_per_sec=args.log_every * batch_size / dt)
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps({f"train/{k}" if "/" not in k else k: v
+                                            for k, v in m.items()}) + "\n")
+                    print(f"step {step} loss {m.get('loss'):.4f} "
+                          f"({m['imgs_per_sec']:.2f} img/s)")
+                if step % args.val_every == 0 and val_loader is not None:
+                    vm = validate(model, state, val_loader, strip_host_fields,
+                                  mesh, rng)
+                    with open(metrics_path, "a") as f:
+                        f.write(json.dumps({**vm, "step": step}) + "\n")
+                    mgr.save(step, jax.device_get(state), metrics=vm)
+                elif step % args.save_every == 0:
+                    mgr.save(step, jax.device_get(state),
+                             metrics={"val/loss_simple": float(m.get("loss_simple", 0))})
+                if step >= max_steps:
+                    break
+            epoch += 1
+    except Exception:
+        crash_save()
+        raise
+    mgr.save(step, jax.device_get(state))
+    mgr.wait()
+    print(f"training done at step {step}; checkpoints in {ckpt_dir}")
+
+
+def validate(model, state, val_loader, strip, mesh, rng):
+    import jax
+
+    from mobi_tpu.parallel.mesh import shard_batch
+
+    losses = []
+    eval_loss = jax.jit(
+        lambda p, b, r: model.training_loss(p, b, r)[1]["loss_simple"]
+    )
+    for i, batch in enumerate(val_loader):
+        if i >= 8:
+            break
+        rng, sub = jax.random.split(rng)
+        with mesh:
+            losses.append(float(eval_loss(state.params, shard_batch(mesh, strip(batch)), sub)))
+    return {"val/loss_simple": float(np.mean(losses)) if losses else float("nan")}
+
+
+if __name__ == "__main__":
+    main()
