@@ -35,9 +35,20 @@ class XFAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x: Array) -> Array:
         d = x.shape[-1]
+        b, n, _ = x.shape
         h = LayerNorm(dtype=self.dtype, name="ln_1")(x)
         qkv = Dense(d * 3, dtype=self.dtype, name="c_qkv")(h)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        # xf.py:66-73 packs the fused projection PER HEAD as
+        # [h0_q, h0_k, h0_v, h1_q, ...] (not thirds); identical for heads=1
+        # (the shipped mapper) but kept exact for any head count.
+        dh = d // self.heads
+        qkv = qkv.reshape(b, n, self.heads, 3 * dh)
+        q, k, v = (
+            qkv[..., :dh], qkv[..., dh : 2 * dh], qkv[..., 2 * dh :]
+        )
+        q = q.reshape(b, n, d)
+        k = k.reshape(b, n, d)
+        v = v.reshape(b, n, d)
         a = dot_product_attention(q, k, v, num_heads=self.heads, backend="xla")
         x = x + Dense(d, dtype=self.dtype, name="c_proj")(a)
         h = LayerNorm(dtype=self.dtype, name="ln_2")(x)

@@ -10,7 +10,6 @@ can be selected for long self-attention sequences.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -57,25 +56,29 @@ def dot_product_attention(
     kh = split_heads(k, num_heads)
     vh = split_heads(v, num_heads)
 
-    use_flash = backend == "flash" or (
-        backend == "auto"
-        and mask is None
-        and qh.shape[1] >= _FLASH_MIN_SEQ
-        and qh.shape[1] == kh.shape[1]
-        and _flash_available()
-    )
-    if use_flash:
+    if backend == "flash":
         from mobi_tpu.ops.flash_attention import flash_attention
 
         out = flash_attention(qh, kh, vh)
+    elif backend == "auto" and (
+        mask is None
+        and qh.shape[1] >= _FLASH_MIN_SEQ
+        and qh.shape[1] == kh.shape[1]
+    ):
+        # Select the kernel by the platform the computation actually LOWERS
+        # to, not the process default backend: the same traced program may be
+        # compiled for CPU (param init, tests, multichip dryrun) and for TPU
+        # (the real bench/train path). Pallas only lowers on TPU.
+        from mobi_tpu.ops.flash_attention import flash_attention
+
+        out = jax.lax.platform_dependent(
+            qh, kh, vh,
+            tpu=flash_attention,
+            default=lambda a, b, c: _xla_attention(a, b, c, None),
+        )
     else:
         out = _xla_attention(qh, kh, vh, mask)
     return merge_heads(out)
-
-
-@functools.cache
-def _flash_available() -> bool:
-    return jax.default_backend() == "tpu"
 
 
 def _xla_attention(

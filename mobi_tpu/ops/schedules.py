@@ -65,7 +65,10 @@ def make_ddim_timesteps(
         raise NotImplementedError(
             f'unknown ddim discretization method "{ddim_discr_method}"'
         )
-    return ddim_timesteps + 1
+    # The +1 offset can push the last index to num_ddpm_timesteps when
+    # num_ddim_timesteps does not divide num_ddpm_timesteps (e.g. 3 into
+    # 1000 -> [1, 334, 667, 1000]); clamp so the table lookup stays in range.
+    return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 
 def make_ddim_sampling_parameters(

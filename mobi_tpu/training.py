@@ -53,8 +53,15 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
-    """AdamW restricted to the trainable (adapter) partition."""
+    """AdamW restricted to the trainable (adapter) partition.
+
+    `optax.masked` passes mask-False updates through UNCHANGED (they are the
+    raw gradients), so the frozen complement must be explicitly zeroed —
+    otherwise every frozen leaf (UNet backbone, VAEs, CLIP) would receive its
+    gradient as a parameter update each step.
+    """
     mask = model.trainable_mask(params)
+    not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
     tx = optax.adamw(
         learning_rate=lambda_linear_schedule(base_lr, warm_up_steps),
         b1=0.9,
@@ -62,7 +69,10 @@ def make_optimizer(
         eps=1e-8,
         weight_decay=weight_decay,
     )
-    tx = optax.masked(tx, mask)
+    tx = optax.chain(
+        optax.masked(optax.set_to_zero(), not_mask),
+        optax.masked(tx, mask),
+    )
     if accumulate_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=accumulate_steps)
     return tx
@@ -81,8 +91,12 @@ def create_train_state(
     base_lr: float = 8.0e-5,
     use_ema: bool = False,
     accumulate_steps: int = 1,
+    params: Optional[Params] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    params = model.init_params(rng)
+    """Build (TrainState, optimizer). Pass `params` to start from existing
+    (e.g. torch-imported pretrained) weights instead of a fresh init."""
+    if params is None:
+        params = model.init_params(rng)
     tx = make_optimizer(model, params, base_lr, accumulate_steps=accumulate_steps)
     opt_state = tx.init(params)
     ema = ema_init(params["unet"]) if use_ema else None

@@ -22,6 +22,13 @@ import pytest  # noqa: E402
 jax.config.update("jax_default_matmul_precision", "highest")
 jax.config.update("jax_threefry_partitionable", True)
 
+# CPU fast lane: run the whole suite on the (virtual) host devices so model
+# tests compile locally instead of through the remote TPU compile service
+# (which costs ~40 min for a cold full run). Set MOBI_TPU_TEST_DEVICE=default
+# to exercise the real accelerator.
+if os.environ.get("MOBI_TPU_TEST_DEVICE", "cpu") == "cpu":
+    jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
 from mobi_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()

@@ -121,7 +121,11 @@ def test_get_input_shapes(model_params):
 
 
 def test_training_loss_finite_and_grads_flow(model_params):
+    from tests.helpers import perturb_params
+
     model, params = model_params
+    # off zero-init, else the zero out_conv blocks all upstream gradients
+    params = perturb_params(params)
     batch = make_batch(b=2)
 
     def loss_fn(p):

@@ -27,6 +27,22 @@ def oracle_model(x0):
     return model_fn
 
 
+def oracle_final(x0, x_T, tables):
+    """Closed-form final latent for the eps-oracle.
+
+    Under the exact-eps DDIM recurrence the trajectory stays on
+    x_t = sqrt(a_t) x0 + sqrt(1-a_t) e with the SAME implied noise direction
+    e = (x_T - sqrt(a_T) x0)/sqrt(1-a_T), so the final sample is
+    sqrt(a_last_prev) x0 + sqrt(1-a_last_prev) e — the sqrt(1-a_0)~0.03
+    residual of e never vanishes (same in the reference, ddim.py:195-213)."""
+    a_T = np.float64(tables.alphas[0])
+    a_end = np.float64(tables.alphas_prev[-1])
+    e = (np.asarray(x_T, np.float64) - np.sqrt(a_T) * np.asarray(x0, np.float64)) / np.sqrt(
+        1.0 - a_T
+    )
+    return np.sqrt(a_end) * np.asarray(x0, np.float64) + np.sqrt(1.0 - a_end) * e
+
+
 def test_ddim_oracle_recovers_x0():
     rng = jax.random.PRNGKey(0)
     x0 = jax.random.normal(rng, (2, 8, 8, 4)) * 0.5
@@ -37,10 +53,16 @@ def test_ddim_oracle_recovers_x0():
     out = ddim_sample(
         oracle_model(x0), tables, jax.random.PRNGKey(2), x_T, cond, rest
     )
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-2)
+    expected = oracle_final(x0, x_T, tables)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
+    # and the residual itself is small: the sample is close to x0
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=0.2)
 
 
 def test_plms_oracle_recovers_x0():
+    """For the eps-oracle the implied eps is constant along the trajectory, so
+    the Adams-Bashforth blend is exact and PLMS lands on the same closed form
+    (the Euler prologue's second eval sits exactly at (x_prev, t_next))."""
     rng = jax.random.PRNGKey(3)
     x0 = jax.random.normal(rng, (2, 8, 8, 4)) * 0.5
     tables = SamplerTables.create(SCHED, 50)
@@ -48,7 +70,8 @@ def test_plms_oracle_recovers_x0():
     rest = jnp.zeros((2, 8, 8, 5))
     cond = jnp.zeros((2, 2, 16))
     out = plms_sample(oracle_model(x0), tables, x_T, cond, rest)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=5e-2)
+    expected = oracle_final(x0, x_T, tables)
+    np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
 
 
 def test_ddim_single_step_matches_reference_formula():

@@ -32,8 +32,15 @@ def test_lambda_linear_schedule_matches_reference():
 
 @pytest.fixture(scope="module")
 def tiny_setup():
-    model, _ = tiny_model_and_params()
-    state, tx = create_train_state(model, jax.random.PRNGKey(0), base_lr=1e-3)
+    from tests.helpers import perturb_params
+
+    model, params = tiny_model_and_params()
+    # Off the zero-init point: at exact init the zero out_conv blocks all
+    # gradients (real runs start from pretrained weights).
+    params = perturb_params(params)
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), base_lr=1e-3, params=params
+    )
     step_fn = make_train_step(model, tx)
     return model, state, step_fn
 

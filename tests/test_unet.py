@@ -79,10 +79,18 @@ def test_cross_modal_is_identity_at_init(mm_unet):
     assert not np.allclose(f1[1::2], f2[1::2])
 
 
-def test_bbox_adapter_is_identity_at_init(mm_unet):
-    """Zero-init cond_adapter_connector: the bbox token (context[:,1]) must
-    not influence activations at init; the CLIP token must."""
+from tests.helpers import perturb_params as _perturb_params  # noqa: E402
+
+
+def test_bbox_adapter_is_identity_when_connector_zero(mm_unet):
+    """The bbox token (context[:,1]) reaches the residual stream ONLY through
+    the zero-init cond_adapter_connector (attention.py:236-243): with every
+    other param perturbed off init but the connector held at zero, perturbing
+    the bbox token must be a no-op while the CLIP token must not be."""
     unet, params = mm_unet
+    params = {"params": _perturb_params(
+        params["params"], keep_zero=("cond_adapter_connector",)
+    )}
     t = jnp.array([5, 5])
     x = jax.random.normal(jax.random.PRNGKey(9), (2, 8, 8, 9))
     ctx = jax.random.normal(jax.random.PRNGKey(10), (2, 2, 64))
@@ -97,6 +105,7 @@ def test_bbox_adapter_is_identity_at_init(mm_unet):
 
 def test_timestep_changes_output(mm_unet):
     unet, params = mm_unet
+    params = {"params": _perturb_params(params["params"])}
     x = jax.random.normal(jax.random.PRNGKey(11), (2, 8, 8, 9))
     ctx = jax.random.normal(jax.random.PRNGKey(12), (2, 2, 64))
     f1 = _middle_features(unet, params, x, jnp.array([1, 1]), ctx)
