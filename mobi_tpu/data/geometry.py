@@ -228,45 +228,91 @@ def box_collision_test(boxes: np.ndarray, qboxes: np.ndarray) -> np.ndarray:
     return out
 
 
-def get_frustum(
-    corners: np.ndarray, origin: Optional[np.ndarray] = None
-) -> np.ndarray:
-    """Viewing frustum of a box from `origin` (default sensor at 0):
-    returns [8, 3] — the 4 near points are scaled toward the origin.
+def transform_to_spherical(points: np.ndarray) -> np.ndarray:
+    """[N, 3] xyz -> [N, 3] (r, theta-from-Z, phi in [0, 2pi))
+    (pipelines/utils.py:267-296)."""
+    pts = np.asarray(points, dtype=np.float64)
+    r = np.sqrt(np.sum(pts**2, axis=-1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        theta = np.arccos(pts[..., 2] / r)
+    phi = np.arctan2(pts[..., 1], pts[..., 0]) % (2 * np.pi)
+    return np.stack([r, theta, phi], axis=-1)
 
-    Equivalent in role to pipelines/utils.py:225-266 (used only for erase-box
-    collision rejection): we take the box's azimuth-extent rays from the
-    origin through the BEV footprint, near at the closest corner, far at the
-    depth limit.
+
+def get_frustum(corners: np.ndarray) -> np.ndarray:
+    """Spherical viewing frustum of boxes from the sensor at the origin
+    (pipelines/utils.py:225-264).
+
+    corners: [N, 8, 3] (or [8, 3]) box corners in the lidar frame.
+    Returns [N, 3, 2, 2]: axes (r, theta, phi) x (min, max) x two phi
+    intervals. A box straddling the +x axis (phi wrap: max-min > pi) is split
+    into [0, max-of-sub-pi-corners] and [min-of-super-pi-corners, 2pi];
+    otherwise the second interval slots hold -1 (inactive).
     """
-    origin = np.zeros(3) if origin is None else np.asarray(origin)
-    rel = corners - origin
-    d = np.linalg.norm(rel[:, :2], axis=1)
-    center_yaw = np.arctan2(rel[:, 1].mean(), rel[:, 0].mean())
-    yaw = np.arctan2(rel[:, 1], rel[:, 0])
-    rel_yaw = np.arctan2(np.sin(yaw - center_yaw), np.cos(yaw - center_yaw))
-    i_left, i_right = int(np.argmin(rel_yaw)), int(np.argmax(rel_yaw))
-    d_near = d.min()
-    d_far = 54.0  # DEPTH_MAX
+    corners = np.asarray(corners)
+    if corners.ndim == 2:
+        corners = corners[None]
+    n = len(corners)
+    pts = transform_to_spherical(corners.reshape(-1, 3)).reshape(n, 8, 3)
+    fr = np.full((n, 3, 2, 2), -1.0, dtype=np.float64)
+    fr[:, :, 0, 0] = pts.min(axis=1)
+    fr[:, :, 1, 0] = pts.max(axis=1)
+    wrap = (fr[:, 2, 1, 0] - fr[:, 2, 0, 0]) > np.pi
+    for idx in np.nonzero(wrap)[0]:
+        phi = pts[idx, :, 2]
+        fr[idx, 2, 0, 0] = 0.0
+        fr[idx, 2, 1, 1] = 2 * np.pi
+        fr[idx, 2, 1, 0] = phi[phi < np.pi].max()
+        fr[idx, 2, 0, 1] = phi[phi > np.pi].min()
+    return fr
 
-    def at(idx, dist):
-        scale = dist / max(d[idx], 1e-9)
-        return origin + rel[idx] * scale
 
-    z_lo, z_hi = corners[:, 2].min(), corners[:, 2].max()
-    quad = np.stack(
-        [at(i_left, d_near), at(i_right, d_near), at(i_right, d_far), at(i_left, d_far)]
-    )
-    bottom = quad.copy()
-    bottom[:, 2] = z_lo
-    top = quad.copy()
-    top[:, 2] = z_hi
-    return np.concatenate([bottom, top], axis=0)
+def frustum_iou_matrix(
+    gt_frustums: np.ndarray, sp_frustums: Optional[np.ndarray] = None
+) -> np.ndarray:
+    """Pairwise frustum overlap PERCENTAGE (overlap area in (theta, phi)
+    angle space divided by the smaller frustum's area), matching the
+    reference `frustum_collision_test(..., apply_thresh=False)`
+    (pipelines/utils.py:124-222; used for the dataset `max_iou_overlap`
+    column, create_pbe_database.py:217-224). Vectorized over all pairs.
+
+    Returns [N, K] float (sp defaults to gt; diagonal NOT zeroed).
+    """
+    gt = np.asarray(gt_frustums, dtype=np.float64)
+    sp = gt if sp_frustums is None else np.asarray(sp_frustums, dtype=np.float64)
+
+    def area(f):
+        return (f[:, 1, 1, 0] - f[:, 1, 0, 0]) * (
+            (f[:, 2, 1, 0] - f[:, 2, 0, 0]) + (f[:, 2, 1, 1] - f[:, 2, 0, 1])
+        )
+
+    s_gt, s_sp = area(gt), area(sp)
+    # theta overlap always uses the single theta interval
+    t_lo = np.maximum(gt[:, 1, 0, 0][:, None], sp[None, :, 1, 0, 0])
+    t_hi = np.minimum(gt[:, 1, 1, 0][:, None], sp[None, :, 1, 1, 0])
+    theta_pos = t_lo < t_hi
+    theta_ov = t_hi - t_lo
+
+    iou = np.zeros((len(gt), len(sp)), dtype=np.float64)
+    for a in (0, 1):
+        g_valid = np.ones(len(gt), bool) if a == 0 else gt[:, 2, 0, 1] >= 0
+        for b in (0, 1):
+            s_valid = np.ones(len(sp), bool) if b == 0 else sp[:, 2, 0, 1] >= 0
+            lo = np.maximum(gt[:, 2, 0, a][:, None], sp[None, :, 2, 0, b])
+            hi = np.minimum(gt[:, 2, 1, a][:, None], sp[None, :, 2, 1, b])
+            coll = (lo < hi) & theta_pos & g_valid[:, None] & s_valid[None, :]
+            iou += np.where(coll, (hi - lo) * theta_ov, 0.0)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = iou / np.minimum(s_gt[:, None], s_sp[None, :])
+    return np.nan_to_num(out, nan=0.0, posinf=0.0)
 
 
 def frustum_collision_test(
-    frustums: np.ndarray, qboxes: np.ndarray
+    gt_frustums: np.ndarray,
+    sp_frustums: Optional[np.ndarray] = None,
+    thresh: float = 0.7,
 ) -> np.ndarray:
-    """Do query boxes intersect any of the viewing frustums (BEV SAT test)?
-    [N, 8, 3] x [M, 8, 3] -> [N, M] bool (pipelines/utils.py:124-222)."""
-    return box_collision_test(frustums, qboxes)
+    """Thresholded frustum-IoU collision (reference apply_thresh=True path,
+    default thresh 0.7 from PointAugmenting)."""
+    return frustum_iou_matrix(gt_frustums, sp_frustums) > thresh

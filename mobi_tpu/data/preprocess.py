@@ -37,6 +37,7 @@ from mobi_tpu.data.geometry import (
     box_collision_test,
     fill_box_faces,
     frustum_collision_test,
+    frustum_iou_matrix,
     get_frustum,
     points_in_bbox_corners,
     project_to_image,
@@ -120,11 +121,8 @@ def process_sample(
         "lidar_path": rec["lidar_path"],
     }
 
-    # frustum overlap matrix (once per sample)
-    frustums = np.stack([get_frustum(c) for c in corners_all])
-    coll = frustum_collision_test(frustums, corners_all).astype(np.float64)
-    np.fill_diagonal(coll, 0)
-    max_iou_overlap = coll.max(axis=-1)
+    # spherical frustums once per sample (pipelines/utils.py:225-264)
+    frustums = get_frustum(corners_all)
 
     rows: List[dict] = []
     for ci, l2i in enumerate(rec["lidar2image_transforms"]):
@@ -142,15 +140,32 @@ def process_sample(
         in_front = (coord[..., 2] > 0).all(axis=-1)
         if not in_front.any():
             continue
+
+        # the per-camera visible subset, as in create_pbe_database.py:185-215:
+        # frustum IoU is computed among the boxes visible in THIS camera only
+        visible_idx = []
         for oi in np.nonzero(in_front)[0]:
+            xy = coord[oi, :, :2]
+            lo, hi = xy.min(0), xy.max(0)
+            b2d = np.array([lo[0], lo[1], hi[0], hi[1]])
+            b2d[0::2] = np.clip(b2d[0::2], 0, W - 1)
+            b2d[1::2] = np.clip(b2d[1::2], 0, H - 1)
+            if (b2d[2:] - b2d[:2] > 4).all():
+                visible_idx.append(int(oi))
+        if not visible_idx:
+            continue
+        sub = np.asarray(visible_idx)
+        iou_mat = frustum_iou_matrix(frustums[sub])
+        np.fill_diagonal(iou_mat, 0.0)
+        max_iou_sub = dict(zip(visible_idx, iou_mat.max(axis=-1)))
+
+        for oi in visible_idx:
             xy = coord[oi, :, :2]
             lo, hi = xy.min(0), xy.max(0)
             b2d_org = np.array([lo[0], lo[1], hi[0], hi[1]])
             b2d = b2d_org.copy()
             b2d[0::2] = np.clip(b2d[0::2], 0, W - 1)
             b2d[1::2] = np.clip(b2d[1::2], 0, H - 1)
-            if (b2d[2:] - b2d[:2] <= 4).any():
-                continue
             vis_pct = float(
                 _area(b2d[None])[0] / max(_area(b2d_org[None])[0], 1e-9)
             )
@@ -167,7 +182,7 @@ def process_sample(
                     object_class=names[oi],
                     camera_visibility_2d_box=vis_pct,
                     num_mask_pixels=n_mask_px,
-                    max_iou_overlap=float(max_iou_overlap[oi]),
+                    max_iou_overlap=float(max_iou_sub[oi]),
                     reference_image_h=float(b2d[3] - b2d[1] + 1),
                     reference_image_w=float(b2d[2] - b2d[0] + 1),
                     num_lidar_points=num_lidar_points[oi],
@@ -183,11 +198,12 @@ def process_sample(
 
 
 def check_erase_bbox(corners_all: np.ndarray) -> bool:
-    """Last box is the candidate erase box; accept iff it collides with no
-    existing box footprint or frustum (create_pbe_database.py:259-273)."""
-    frustums = np.stack([get_frustum(c) for c in corners_all])
+    """Last box is the candidate erase box; accept iff it neither overlaps an
+    existing BEV footprint nor exceeds 0.7 frustum IoU with any existing
+    frustum (create_pbe_database.py:259-273)."""
+    frustums = get_frustum(corners_all)
     box_coll = box_collision_test(corners_all, corners_all)
-    fr_coll = frustum_collision_test(frustums[:-1], corners_all[-1:])
+    fr_coll = frustum_collision_test(frustums[:-1], frustums[-1:], thresh=0.7)
     n = len(corners_all)
     coll = box_coll.copy()
     coll[np.arange(n), np.arange(n)] = False

@@ -111,8 +111,8 @@ def test_frustum_blocks_occluded_box():
     box = make_box((10, 0, 0), (2, 2, 2))
     behind = make_box((20, 0, 0), (2, 2, 2))  # same azimuth, farther
     aside = make_box((10, 15, 0), (2, 2, 2))  # different azimuth
-    fr = get_frustum(box)[None]
-    res = frustum_collision_test(fr, np.stack([behind, aside]))
+    fr = get_frustum(np.stack([box, behind, aside]))
+    res = frustum_collision_test(fr[:1], fr[1:], thresh=0.5)
     assert res[0, 0] and not res[0, 1]
 
 
