@@ -109,6 +109,8 @@ class MobiConfig:
     unet_num_res_blocks: int = 2
     unet_attention_resolutions: Sequence[int] = (4, 2, 1)
     unet_num_heads: int = 8
+    unet_use_checkpoint: bool = False
+    attn_backend: str = "auto"
     context_dim: int = 768
     vae_ch: int = 128
     vae_ch_mult: Sequence[int] = (1, 2, 4, 4)
@@ -151,6 +153,8 @@ class MobiDiffusion:
             bbox_cond="ref_bbox" in config.cond_stage_key,
             use_camera=config.use_camera,
             use_lidar=config.use_lidar,
+            use_checkpoint=config.unet_use_checkpoint,
+            attn_backend=config.attn_backend,
             dtype=config.dtype,
         )
         self.vae_camera = (

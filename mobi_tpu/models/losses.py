@@ -178,5 +178,41 @@ class LidarWithDiscriminator:
         return d_loss, log
 
 
-# camera VAE loss: identical structure, LPIPS perceptual term optional
-LPIPSWithDiscriminator = LidarWithDiscriminator
+class LPIPSWithDiscriminator(LidarWithDiscriminator):
+    """Camera-VAE loss (reference contperceptual.py:7-105): the lidar loss
+    plus an AlexNet-LPIPS perceptual term added into the reconstruction
+    residual BEFORE the logvar NLL (p_loss broadcast per sample).
+
+    params adds {"lpips": <frozen feature/linear-head tree>}; import real
+    weights with `mobi_tpu.eval.lpips.import_lpips_weights` — random init is
+    used otherwise (fine for shape tests, not for training).
+    """
+
+    def __init__(self, *args, perceptual_weight: float = 1.0, **kwargs):
+        super().__init__(*args, **kwargs)
+        self.perceptual_weight = perceptual_weight
+        from mobi_tpu.eval.lpips import LPIPS
+
+        self.lpips = LPIPS()
+
+    def init_params(self, rng: jax.Array, spatial: int = 64) -> Dict[str, Any]:
+        k1, k2 = jax.random.split(rng)
+        params = super().init_params(k1, spatial)
+        if self.perceptual_weight > 0:
+            x = jnp.zeros((1, max(spatial, 64), max(spatial, 64), 3))
+            params["lpips"] = self.lpips.init(k2, x, x)["params"]
+        return params
+
+    def nll_and_kl(self, loss_params, inputs, recons, posterior):
+        rec = jnp.abs(inputs - recons)
+        if self.perceptual_weight > 0:
+            # frozen perceptual net: gradients flow to the decoder through
+            # the activations, never into the LPIPS weights
+            lpips_params = jax.lax.stop_gradient(loss_params["lpips"])
+            p = self.lpips.apply({"params": lpips_params}, inputs, recons)
+            rec = rec + self.perceptual_weight * p[:, None, None, None]
+        logvar = loss_params["logvar"]
+        nll = rec / jnp.exp(logvar) + logvar
+        nll = jnp.sum(nll) / inputs.shape[0]
+        kl = jnp.sum(posterior.kl()) / inputs.shape[0]
+        return nll, kl, rec.mean()

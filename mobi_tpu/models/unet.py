@@ -264,8 +264,17 @@ class UNetModel(nn.Module):
             self.model_channels * 4, dtype=self.dtype, name="time_embed_2"
         )(swish(emb))
 
-        def spatial_transformer(ch: int, name: str) -> SpatialTransformer:
-            return SpatialTransformer(
+        # use_checkpoint -> flax remat: recompute each block's activations in
+        # the backward pass instead of keeping them in HBM (reference
+        # CheckpointFunction, diffusionmodules/util.py:102-149)
+        res_block_cls = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        transformer_cls = (
+            nn.remat(SpatialTransformer) if self.use_checkpoint
+            else SpatialTransformer
+        )
+
+        def spatial_transformer(ch: int, name: str):
+            return transformer_cls(
                 heads=self.num_heads,
                 dim_head=ch // self.num_heads,
                 depth=self.transformer_depth,
@@ -292,7 +301,7 @@ class UNetModel(nn.Module):
         for level, mult in enumerate(self.channel_mult):
             for _ in range(self.num_res_blocks):
                 ch = mult * self.model_channels
-                h = ResBlock(
+                h = res_block_cls(
                     ch, dtype=self.dtype, name=f"input_blocks_{block_idx}_res"
                 )(h, emb)
                 if ds in self.attention_resolutions:
@@ -311,9 +320,9 @@ class UNetModel(nn.Module):
                 block_idx += 1
                 ds *= 2
 
-        h = ResBlock(dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = res_block_cls(dtype=self.dtype, name="middle_block_0")(h, emb)
         h = spatial_transformer(ch, "middle_block_1")(h, context)
-        h = ResBlock(dtype=self.dtype, name="middle_block_2")(h, emb)
+        h = res_block_cls(dtype=self.dtype, name="middle_block_2")(h, emb)
 
         block_idx = 0
         for level, mult in reversed(list(enumerate(self.channel_mult))):
@@ -322,7 +331,7 @@ class UNetModel(nn.Module):
                 input_chans.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = self.model_channels * mult
-                h = ResBlock(
+                h = res_block_cls(
                     ch, dtype=self.dtype, name=f"output_blocks_{block_idx}_res"
                 )(h, emb)
                 if ds in self.attention_resolutions:

@@ -193,6 +193,8 @@ def main(argv=None):
                 )
             if cam is not None and opt.save_visualisations:
                 save_camera_grid(cam[i], batch, i, camera_path, seg, opt, cv2)
+            if lid is not None and opt.save_visualisations:
+                save_lidar_visuals(lid[i], batch, i, lidar_path, seg, opt, cv2)
         n_done += B
         print(f"batch {bi}: {n_done} objects, {n_done / (time.time() - t0):.3f} obj/s")
 
@@ -334,6 +336,56 @@ def composite_lidar(pred, batch, i, lidar_path, sample_path, seg, opt, mcfg,
         [pts_pred, pts_int[:, None], beam[:, None]], axis=1
     ).astype(np.float32)
     np.save(os.path.join(sample_path, lid["file_name"][i]), pred_points)
+
+    # lidar-on-image overlays (reference :633-652)
+    if image_recon is not None and "orig" in batch.get("image", {}):
+        from mobi_tpu.viz import overlay_lidar_on_image
+
+        lidar2image = np.asarray(batch["image"]["orig"]["lidar2image"][i])
+        pts_orig, _, _ = rp.range_to_pcd(depth_orig, pitch, yaw)
+        image_u8 = (
+            (np.asarray(batch["image"]["orig"]["image"][i]) + 1) / 2 * 255
+        ).astype(np.uint8)
+        overlay_lidar_on_image(
+            pts_orig, lidar2image, image_u8,
+            os.path.join(lidar_path, "overlay_orig", f"{seg}.png"),
+        )
+        overlay_lidar_on_image(
+            pts_pred, lidar2image, image_recon,
+            os.path.join(lidar_path, "overlay_pred", f"{seg}.png"),
+        )
+
+
+def save_lidar_visuals(pred, batch, i, lidar_path, seg, opt, cv2):
+    """Range-view PNGs for the lidar realism scores + collages
+    (reference :536-565): range_depth_{pred,target} and
+    range_intensity_{pred,target} hold the normalized 512-crops as u8 — the
+    D-LPIPS / I-LPIPS inputs of realism_test_bench.sh compute_scores."""
+    from mobi_tpu.viz import range_log_collage
+
+    lid = batch["lidar"]
+    gt = np.asarray(lid["range_data"][i])
+    inpaint = np.asarray(lid["range_data_inpaint"][i])
+    mask = np.asarray(lid["range_mask"][i])
+
+    def u8(x):
+        return np.clip((np.asarray(x) + 1) / 2 * 255, 0, 255).astype(np.uint8)
+
+    for ch, name in ((0, "depth"), (1, "intensity")):
+        for sub, img in (
+            (f"range_{name}_pred", u8(pred[..., ch])),
+            (f"range_{name}_target", u8(gt[..., ch])),
+        ):
+            os.makedirs(os.path.join(lidar_path, sub), exist_ok=True)
+            cv2.imwrite(
+                os.path.join(lidar_path, sub, f"{seg}_seed{opt.seed}.png"), img
+            )
+        collage = range_log_collage(gt, inpaint, mask, np.asarray(pred), channel=ch)
+        coldir = os.path.join(lidar_path, f"range_{name}_collage")
+        os.makedirs(coldir, exist_ok=True)
+        cv2.imwrite(
+            os.path.join(coldir, f"{seg}_grid_{name}_seed{opt.seed}.jpg"), collage
+        )
 
 
 def save_camera_grid(pred, batch, i, camera_path, seg, opt, cv2):

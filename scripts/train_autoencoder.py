@@ -42,7 +42,10 @@ def main(argv=None):
 
     from mobi_tpu.checkpoint import CheckpointManager, load_torch_checkpoint
     from mobi_tpu.data.loader import PrefetchLoader
-    from mobi_tpu.models.losses import LidarWithDiscriminator
+    from mobi_tpu.models.losses import (
+        LidarWithDiscriminator,
+        LPIPSWithDiscriminator,
+    )
     from mobi_tpu.models.vae import AutoencoderKL
     from mobi_tpu.utils.config import instantiate_from_config, load_config
 
@@ -60,8 +63,16 @@ def main(argv=None):
         out_ch=dd.get("out_ch", 2),
         lidar_adapter=dd.get("lidar_adapter", False),
     )
-    loss_cfg = dict(mp.get("lossconfig", {}).get("params", {}))
-    loss = LidarWithDiscriminator(**{**loss_cfg, "disc_in_channels": dd["in_channels"]})
+    lossconfig = mp.get("lossconfig", {})
+    loss_cfg = dict(lossconfig.get("params", {}))
+    # camera VAE finetuning uses the LPIPS-augmented loss (contperceptual.py);
+    # the range VAE uses the plain L1+KL+GAN loss (lidarperceptual.py)
+    loss_cls = (
+        LPIPSWithDiscriminator
+        if "LPIPS" in lossconfig.get("target", "")
+        else LidarWithDiscriminator
+    )
+    loss = loss_cls(**{**loss_cfg, "disc_in_channels": dd["in_channels"]})
 
     rng = jax.random.PRNGKey(args.seed)
     cpu = jax.devices("cpu")[0]
@@ -94,7 +105,17 @@ def main(argv=None):
             params,
         )
 
-    tx_g = optax.masked(optax.adam(lr, b1=0.5, b2=0.9), mask_fn(vae_params))
+    # optax.masked passes unmasked updates through UNCHANGED — explicitly
+    # zero the frozen complement or the full VAE would drift (same fix as
+    # mobi_tpu.training.make_optimizer)
+    g_mask = mask_fn(vae_params)
+    tx_g = optax.chain(
+        optax.masked(
+            optax.set_to_zero(),
+            jax.tree_util.tree_map(lambda m: not m, g_mask),
+        ),
+        optax.masked(optax.adam(lr, b1=0.5, b2=0.9), g_mask),
+    )
     tx_d = optax.adam(lr, b1=0.5, b2=0.9)
     opt_g = tx_g.init(vae_params)
     opt_d = tx_d.init(loss_params["discriminator"])

@@ -135,6 +135,39 @@ def test_adapter_param_partition():
     assert any("time_embed" in n for n in frozen)
 
 
+def test_use_checkpoint_remat_same_values_and_grads(mm_unet):
+    """use_checkpoint wires nn.remat: outputs and gradients must be identical
+    to the non-rematted UNet (reference CheckpointFunction contract,
+    diffusionmodules/util.py:102-149)."""
+    unet, params = mm_unet
+    params = {"params": _perturb_params(params["params"])}
+    unet_r = UNetModel(
+        bbox_cond=True, use_camera=True, use_lidar=True, use_checkpoint=True,
+        **TINY,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(20), (2, 8, 8, 9))
+    t = jnp.array([7, 7])
+    ctx = jax.random.normal(jax.random.PRNGKey(21), (2, 2, 64))
+
+    out_a = unet.apply(params, x, t, ctx)
+    out_b = unet_r.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b), atol=1e-6)
+
+    def loss(mod):
+        return lambda p: (mod.apply(p, x, t, ctx) ** 2).sum()
+
+    g_a = jax.grad(loss(unet))(params)
+    g_b = jax.grad(loss(unet_r))(params)
+    for (pa, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_a),
+        jax.tree_util.tree_leaves_with_path(g_b),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa),
+        )
+
+
 def test_camera_only_unet():
     unet = UNetModel(bbox_cond=False, use_camera=True, use_lidar=False, **TINY)
     x = jnp.zeros((2, 8, 8, 9))

@@ -40,6 +40,13 @@ def parse_args(argv=None):
     p.add_argument("--save_every", type=int, default=1000)
     p.add_argument("--val_every", type=int, default=1000)
     p.add_argument("--log_every", type=int, default=50)
+    p.add_argument("--image_log_every", type=int, default=400,
+                   help="sampled image/range collage frequency "
+                        "(reference ImageLogger batch_frequency, main.py:604)")
+    p.add_argument("--image_log_steps", type=int, default=20,
+                   help="sampler steps for logged images")
+    p.add_argument("--image_log_max", type=int, default=2,
+                   help="max (camera, lidar) pairs per collage dump")
     p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--fsdp", type=int, default=1)
@@ -99,6 +106,12 @@ def main(argv=None):
 
     mcfg = mobi_config_from_yaml(cfg)
     model = MobiDiffusion(mcfg)
+
+    # trainer section of the config (reference Trainer args): CLI overrides it
+    if args.max_epochs is None:
+        args.max_epochs = cfg.get("trainer", {}).get("max_epochs")
+    if args.max_steps is None and cfg.get("trainer", {}).get("max_steps"):
+        args.max_steps = int(cfg["trainer"]["max_steps"])
 
     base_lr = cfg["model"].get("base_learning_rate", 8.0e-5)
     datasets, batch_size = build_datasets(cfg)
@@ -178,10 +191,17 @@ def main(argv=None):
 
     install_crash_save(crash_save)
 
+    image_logger = ImageLogger(
+        model, mcfg, logdir, every=args.image_log_every,
+        sample_steps=args.image_log_steps, max_items=args.image_log_max,
+        metrics_path=metrics_path,
+    )
+
     step = int(state.step)
     max_steps = args.max_steps or (10**12)
     epoch = 0
     t_last = time.time()
+    t_epoch = time.time()
     try:
         while step < max_steps and (args.max_epochs is None or epoch < args.max_epochs):
             for batch in train_loader:
@@ -190,6 +210,12 @@ def main(argv=None):
                 with mesh:
                     state, m = step_fn(state, batch_dev, sub)
                 step += 1
+                if step % args.image_log_every == 0:
+                    rng, sub = jax.random.split(rng)
+                    with mesh:
+                        image_logger.maybe_log(
+                            state, batch, strip_host_fields, step, sub
+                        )
                 if step % args.log_every == 0:
                     m = {k: float(v) for k, v in m.items()}
                     dt = time.time() - t_last
@@ -213,6 +239,25 @@ def main(argv=None):
                 if step >= max_steps:
                     break
             epoch += 1
+            # epoch wall time + device memory — the reference CUDACallback
+            # equivalent (main.py:428-448)
+            epoch_rec = {
+                "train/epoch": epoch,
+                "train/epoch_time_s": time.time() - t_epoch,
+                "step": step,
+            }
+            try:
+                stats = jax.devices()[0].memory_stats() or {}
+                if "peak_bytes_in_use" in stats:
+                    epoch_rec["train/peak_device_mem_mb"] = (
+                        stats["peak_bytes_in_use"] / 2**20
+                    )
+            except Exception:
+                pass
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(epoch_rec) + "\n")
+            print(f"epoch {epoch} done in {epoch_rec['train/epoch_time_s']:.1f}s")
+            t_epoch = time.time()
     except Exception:
         crash_save()
         raise
@@ -221,22 +266,139 @@ def main(argv=None):
     print(f"training done at step {step}; checkpoints in {ckpt_dir}")
 
 
-def validate(model, state, val_loader, strip, mesh, rng):
+def validate(model, state, val_loader, strip, mesh, rng, num_batches=8,
+             t_draws=4):
+    """Validation loss averaged over `t_draws` independent timestep/noise
+    draws per batch — the single-draw estimate is far too noisy to drive
+    checkpoint selection (the reference monitors an epoch-level EMA of
+    val/loss_simple, mobi_nusc_512.yaml:43)."""
     import jax
+    import jax.numpy as jnp
 
     from mobi_tpu.parallel.mesh import shard_batch
 
+    def multi_t_loss(p, b, r):
+        keys = jax.random.split(r, t_draws)
+        losses = jnp.stack(
+            [model.training_loss(p, b, k)[1]["loss_simple"] for k in keys]
+        )
+        return losses.mean()
+
+    eval_loss = jax.jit(multi_t_loss)
     losses = []
-    eval_loss = jax.jit(
-        lambda p, b, r: model.training_loss(p, b, r)[1]["loss_simple"]
-    )
     for i, batch in enumerate(val_loader):
-        if i >= 8:
+        if i >= num_batches:
             break
         rng, sub = jax.random.split(rng)
         with mesh:
             losses.append(float(eval_loss(state.params, shard_batch(mesh, strip(batch)), sub)))
     return {"val/loss_simple": float(np.mean(losses)) if losses else float("nan")}
+
+
+class ImageLogger:
+    """Training-time sampled collages + on-line lidar metrics — the
+    reference's primary QA surface (main.py:319-425 ImageLogger;
+    ddpm.py:1450-1614 log_images/log_data with per-val lidar depth/intensity
+    MSE and median error)."""
+
+    def __init__(self, model, mcfg, logdir, every=400, sample_steps=20,
+                 max_items=2, metrics_path=None):
+        self.model = model
+        self.mcfg = mcfg
+        self.dir = os.path.join(logdir, "images")
+        self.every = max(int(every), 1)
+        self.steps = sample_steps
+        self.max_items = max_items
+        self.metrics_path = metrics_path
+        self._fn = None
+
+    def _build(self):
+        import jax
+
+        model = self.model
+
+        def pipeline(params, batch, rng):
+            k1, k2 = jax.random.split(rng)
+            data = model.get_input(params, batch, k1, encode_cond=True)
+            latents = model.sample(
+                params, data, k2, num_steps=self.steps, guidance_scale=1.0,
+                sampler="plms",
+            )
+            return model.decode_sample(
+                params, latents, data.get("z_lidar_full"), data.get("lidar_geom")
+            )
+
+        self._fn = jax.jit(pipeline)
+
+    def maybe_log(self, state, batch, strip, step, rng):
+        if step % self.every:
+            return None
+        import cv2
+        import jax
+
+        from mobi_tpu.viz import camera_log_collage, range_log_collage
+
+        if self._fn is None:
+            self._build()
+        n = self.max_items
+        small = jax.tree_util.tree_map(lambda x: x[:n], strip(batch))
+        out = self._fn(state.params, small, rng)
+        os.makedirs(self.dir, exist_ok=True)
+
+        metrics = {}
+        if "camera" in out:
+            cam = np.asarray(out["camera"])
+            for i in range(cam.shape[0]):
+                rows = [
+                    np.asarray(batch["image"]["GT"][i]),
+                    np.asarray(batch["image"]["inpaint_image"][i]),
+                    cam[i],
+                ]
+                collage = camera_log_collage(rows)
+                cv2.imwrite(
+                    os.path.join(self.dir, f"step{step:08d}_cam{i}.jpg"),
+                    collage[..., ::-1],
+                )
+        if "lidar" in out:
+            lid = np.asarray(out["lidar"])
+            for i in range(lid.shape[0]):
+                for ch, name in ((0, "depth"), (1, "intensity")):
+                    collage = range_log_collage(
+                        np.asarray(batch["lidar"]["range_data"][i]),
+                        np.asarray(batch["lidar"]["range_data_inpaint"][i]),
+                        np.asarray(batch["lidar"]["range_mask"][i]),
+                        lid[i], channel=ch,
+                    )
+                    cv2.imwrite(
+                        os.path.join(
+                            self.dir, f"step{step:08d}_range_{name}{i}.jpg"
+                        ),
+                        collage,
+                    )
+            try:
+                from mobi_tpu.eval.lidar_metrics import lidar_sample_metrics
+
+                m = lidar_sample_metrics(
+                    pred=lid,
+                    gt=np.asarray(batch["lidar"]["range_data"][:n]),
+                    instance_mask=np.asarray(
+                        batch["lidar"]["range_instance_mask"][:n]
+                    ),
+                    edit_mask=np.asarray(batch["lidar"]["range_mask"][:n]),
+                    width_crop=np.asarray(batch["lidar"]["width_crop"][:n]),
+                    min_depth_obj=np.asarray(batch["lidar"]["min_depth_obj"][:n]),
+                    max_depth_obj=np.asarray(batch["lidar"]["max_depth_obj"][:n]),
+                    range_object_norm=self.mcfg.range_object_norm,
+                    range_object_norm_scale=self.mcfg.range_object_norm_scale,
+                    range_int_norm=self.mcfg.range_int_norm,
+                )
+                metrics = {f"imagelog/{k}": float(v) for k, v in m.items()}
+            except KeyError:
+                pass  # host-side fields absent (e.g. synthetic batches)
+        if metrics and self.metrics_path:
+            with open(self.metrics_path, "a") as f:
+                f.write(json.dumps({**metrics, "step": step}) + "\n")
+        return metrics
 
 
 if __name__ == "__main__":
