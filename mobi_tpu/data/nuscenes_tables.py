@@ -109,10 +109,14 @@ class NuScenesTables:
         for name in [
             "category", "visibility", "instance", "sensor", "calibrated_sensor",
             "ego_pose", "log", "scene", "sample", "sample_data",
-            "sample_annotation",
+            "sample_annotation", "attribute",
         ]:
-            with open(os.path.join(table_dir, f"{name}.json")) as f:
-                self.tables[name] = json.load(f)
+            path = os.path.join(table_dir, f"{name}.json")
+            if name == "attribute" and not os.path.exists(path):
+                self.tables[name] = []  # optional (synthetic test tables)
+            else:
+                with open(path) as f:
+                    self.tables[name] = json.load(f)
             self.index[name] = {r["token"]: r for r in self.tables[name]}
 
         # per-sample sensor data (keyframes only)

@@ -477,7 +477,10 @@ class MobiDiffusion:
             self.uncond_tokens(params, b) if guidance_scale != 1.0 else None
         )
         k_init, k_loop = jax.random.split(rng)
-        x_T = jax.random.normal(k_init, z[..., :4].shape, dtype=z.dtype)
+        # the sampling carry stays float32 (schedule math is fp32; the UNet
+        # casts its inputs to the activation dtype internally) — mixing a
+        # bf16 carry with fp32 step tables would change dtype across the scan
+        x_T = jax.random.normal(k_init, z[..., :4].shape, dtype=jnp.float32)
 
         def model_fn(x9, t, ctx):
             return self.apply_model(params, x9, t, ctx)

@@ -192,6 +192,33 @@ def test_cfg_uncond_tokens(model_params):
     )
 
 
+def test_sample_bf16_model_end_to_end():
+    """bf16 activation config (the bench path): the sampler carry must stay
+    float32 across the scan while the UNet/VAEs run bf16 — regression for the
+    BENCH_r02 dtype-mismatch crash."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, dtype=jnp.bfloat16)
+    model = MobiDiffusion(cfg)
+    model.cond_model = TinyCondStage(
+        conditions=("ref_image", "ref_bbox"), dtype=jnp.bfloat16
+    )
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = make_batch(b=1)
+    data = model.get_input(params, batch, jax.random.PRNGKey(0), encode_cond=True)
+    for sampler in ("ddim", "plms"):
+        latents = model.sample(
+            params, data, jax.random.PRNGKey(1), num_steps=3,
+            guidance_scale=5.0, sampler=sampler,
+        )
+        assert latents.dtype == jnp.float32
+        decoded = model.decode_sample(
+            params, latents, data["z_lidar_full"], data["lidar_geom"]
+        )
+        assert np.all(np.isfinite(np.asarray(decoded["camera"], np.float32)))
+        assert np.all(np.isfinite(np.asarray(decoded["lidar"], np.float32)))
+
+
 def test_sample_and_decode_shapes(model_params):
     model, params = model_params
     batch = make_batch(b=1)
