@@ -494,6 +494,13 @@ class MobiDiffusion:
                 model_fn, tables, k_loop, x_T, cond, rest, uncond,
                 guidance_scale,
             )
+        elif sampler == "ddpm":
+            # full-length ancestral loop (reference ddpm.py:253-282); latents
+            # are not pixel-ranged, so no x0 clipping here
+            return S.ddpm_sample(
+                model_fn, self.schedule, k_loop, x_T, cond, rest, uncond,
+                guidance_scale, clip_denoised=False,
+            )
         raise ValueError(f"unknown sampler {sampler}")
 
     def decode_sample(

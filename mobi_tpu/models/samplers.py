@@ -104,6 +104,104 @@ def ddim_sample(
     return x
 
 
+def ddpm_sample(
+    model_fn: ModelFn,
+    schedule,
+    rng: jax.Array,
+    x_T: Array,
+    cond: Array,
+    rest: Array,
+    uncond: Optional[Array] = None,
+    guidance_scale: float = 1.0,
+    clip_denoised: bool = True,
+) -> Array:
+    """Full-length ancestral DDPM sampling as one scan over all T steps
+    (reference ddpm.py:253-282 p_sample/p_sample_loop with the q-posterior
+    of ddpm.py:227-251): eps -> x0 estimate (optionally clipped) -> posterior
+    mean + sigma_t * noise (no noise at t == 0)."""
+
+    def step(carry, t):
+        x, key = carry
+        key, sub = jax.random.split(key)
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+        x_recon = (
+            schedule.sqrt_recip_alphas_cumprod[t] * x
+            - schedule.sqrt_recipm1_alphas_cumprod[t] * eps
+        )
+        if clip_denoised:
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+        mean = (
+            schedule.posterior_mean_coef1[t] * x_recon
+            + schedule.posterior_mean_coef2[t] * x
+        )
+        logvar = schedule.posterior_log_variance_clipped[t]
+        noise = jax.random.normal(sub, x.shape, dtype=x.dtype)
+        nonzero = (t > 0).astype(x.dtype)
+        x = mean + nonzero * jnp.exp(0.5 * logvar) * noise
+        return (x, key), None
+
+    ts = jnp.arange(schedule.num_timesteps - 1, -1, -1, dtype=jnp.int32)
+    (x, _), _ = jax.lax.scan(step, (x_T, rng), ts)
+    return x
+
+
+def ddim_stochastic_encode(
+    tables: SamplerTables,
+    x0: Array,
+    t_index: Array,
+    noise: Array,
+) -> Array:
+    """Noise x0 to the t_index-th DDIM step (reference ddim.py:215-229).
+
+    `t_index` indexes the INCREASING-t DDIM table (0 = least noisy), like the
+    reference's `t` argument."""
+    # tables are stored in sampling order (largest t first) — flip
+    alphas = tables.alphas[::-1]
+    sqrt_om = tables.sqrt_one_minus_alphas[::-1]
+    shape = (x0.shape[0],) + (1,) * (x0.ndim - 1)
+    a = jnp.sqrt(alphas[t_index]).reshape(shape)
+    s = sqrt_om[t_index].reshape(shape)
+    return a * x0 + s * noise
+
+
+def ddim_decode(
+    model_fn: ModelFn,
+    tables: SamplerTables,
+    x_latent: Array,
+    t_start: int,
+    cond: Array,
+    rest: Array,
+    uncond: Optional[Array] = None,
+    guidance_scale: float = 1.0,
+) -> Array:
+    """Deterministic DDIM decode of a stochastically-encoded latent: runs the
+    FIRST t_start timesteps of the increasing-t DDIM table, largest first —
+    i.e. the last t_start entries of the sampling-order tables
+    (reference ddim.py:231-250). `t_start` is static."""
+    s = tables.num_steps
+    assert 0 < t_start <= s, f"t_start {t_start} out of range 1..{s}"
+    sl = slice(s - t_start, s)
+
+    def step(x, per_step):
+        t, a_t, a_prev, sqrt_1m_at = per_step
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+        x, _ = _ddim_update(x, eps, a_t, a_prev, sqrt_1m_at, 0.0, 0.0)
+        return x, None
+
+    per_step = (
+        tables.timesteps[sl],
+        tables.alphas[sl],
+        tables.alphas_prev[sl],
+        tables.sqrt_one_minus_alphas[sl],
+    )
+    x, _ = jax.lax.scan(step, x_latent, per_step)
+    return x
+
+
 def plms_sample(
     model_fn: ModelFn,
     tables: SamplerTables,

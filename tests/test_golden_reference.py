@@ -379,6 +379,55 @@ def test_plms_loop_parity():
     assert err < 1e-4, f"PLMS loop max-abs-err {err}"
 
 
+def test_ddim_stochastic_encode_decode_parity():
+    """stochastic_encode (ddim.py:215-229) + decode (ddim.py:231-250)."""
+    from ldm.models.diffusion.ddim import DDIMSampler
+
+    from mobi_tpu.models.samplers import ddim_decode, ddim_stochastic_encode
+    from mobi_tpu.ops.schedules import DiffusionSchedule, SamplerTables
+
+    sched = DiffusionSchedule.create(1000, "linear", 0.00085, 0.0120)
+    stub = _StubTorchModel(sched)
+    sampler = _cpu_sampler(DDIMSampler, stub)
+    sampler.make_schedule(10, verbose=False)
+    tables = SamplerTables.create(sched, 10)
+
+    g = torch.Generator().manual_seed(8)
+    x0 = torch.randn(2, 4, 8, 8, generator=g)
+    noise = torch.randn(2, 4, 8, 8, generator=g)
+    t_start = 6
+    t_idx = torch.full((2,), t_start - 1, dtype=torch.long)
+
+    enc_ref = sampler.stochastic_encode(x0, t_idx, noise=noise)
+    enc = ddim_stochastic_encode(
+        tables, nhwc(x0), jnp.full((2,), t_start - 1), nhwc(noise)
+    )
+    np.testing.assert_allclose(
+        np.asarray(enc), nchw_to_nhwc(enc_ref.numpy()), atol=1e-5
+    )
+
+    rest = torch.randn(2, 5, 8, 8, generator=g)
+    cond = torch.randn(2, 2, 16, generator=g)
+
+    # NOTE: the reference's DDIMSampler.decode (ddim.py:231-250) forwards no
+    # kwargs, so it cannot reach the MObI p_sample_ddim (which requires
+    # 'rest'/'test_model_kwargs', ddim.py:169-176) — dead code as shipped.
+    # Drive the REAL p_sample_ddim through decode's loop semantics instead.
+    x_dec = enc_ref
+    timesteps = sampler.ddim_timesteps[:t_start]
+    for i, step_t in enumerate(np.flip(timesteps)):
+        ts = torch.full((2,), int(step_t), dtype=torch.long)
+        x_dec, _ = sampler.p_sample_ddim(
+            x_dec, cond, ts, index=t_start - i - 1, rest=rest
+        )
+    dec = ddim_decode(
+        _jax_stub_model, tables, jnp.asarray(np.asarray(enc)), t_start,
+        jnp.asarray(cond.numpy()), nhwc(rest),
+    )
+    err = max_err(dec, nchw_to_nhwc(x_dec.numpy()))
+    assert err < 1e-4, f"ddim decode max-abs-err {err}"
+
+
 def test_ddim_tables_match_reference_make_schedule():
     from ldm.models.diffusion.ddim import DDIMSampler
 
@@ -405,6 +454,81 @@ def test_ddim_tables_match_reference_make_schedule():
     np.testing.assert_allclose(
         np.asarray(tables.sqrt_one_minus_alphas)[::-1],
         np.asarray(sampler.ddim_sqrt_one_minus_alphas), rtol=1e-6,
+    )
+
+
+# ----------------------------------------------------------------- rangenet
+def test_rangenet_frd_feature_parity():
+    """Full FRD feature extractor vs the reference RangeNet++ Model
+    (eval_tool/lidar/rangenet/model.py) through return_final_logits=True,
+    agg_type='depth' — backbone + decoder + 512-d depth aggregation."""
+    import yaml
+
+    sys.path.insert(0, os.path.join(REF_PATH, "eval_tool", "lidar"))
+    from rangenet.model import Model as RefRangeNet  # noqa: E402
+
+    from mobi_tpu.eval.rangenet import RangeNetFRD, import_rangenet_weights
+
+    with open(os.path.join(REF_PATH, "eval_tool/lidar/rangenet/config.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    ref = RefRangeNet(cfg)
+    randomize_(ref, seed=30)
+    # randomize BN running stats too (buffers, not parameters)
+    g = torch.Generator().manual_seed(31)
+    with torch.no_grad():
+        for name, buf in ref.named_buffers():
+            if name.endswith("running_mean"):
+                buf.copy_(torch.randn(buf.shape, generator=g) * 0.1)
+            elif name.endswith("running_var"):
+                buf.copy_(torch.rand(buf.shape, generator=g) + 0.5)
+    ref.eval()
+
+    x = torch.randn(2, 5, 64, 128, generator=g)
+    with torch.no_grad():
+        feat_ref = ref(x, return_final_logits=True, agg_type="depth")
+
+    params = import_rangenet_weights(
+        to_numpy_state_dict(ref.backbone.state_dict()),
+        to_numpy_state_dict(ref.decoder.state_dict()),
+    )
+    net = RangeNetFRD()
+    feat = net.apply({"params": params}, nhwc(x))
+    assert feat.shape == (2, 512)
+    err = max_err(feat, feat_ref)
+    assert err < 2e-4, f"rangenet FRD feature max-abs-err {err}"
+
+
+def test_range_npy_to_input_matches_reference_dataset():
+    """Input construction parity with frd_score.RangePathDataset:34-70."""
+    import torch.nn.functional as F
+
+    from mobi_tpu.eval.rangenet import range_npy_to_input
+
+    rng = np.random.default_rng(0)
+    H, W = 32, 256
+    depth_n = rng.uniform(-1, 1, (H, W))
+    inten = rng.uniform(-1, 1, (H, W))
+    pitch = rng.uniform(-0.4, 0.2, (H, W))
+    yaw = rng.uniform(-np.pi, np.pi, (H, W))
+    npy = np.stack([depth_n, inten, pitch, yaw])
+
+    # reference construction (frd_score.py:48-70)
+    d = (depth_n + 1) / 2 * 54.0
+    valid = (d > 1.4) & (d < 54.0)
+    xyz = -np.ones((3, H, W))
+    xyz[0] = np.cos(yaw) * np.cos(pitch) * d
+    xyz[1] = -np.sin(yaw) * np.cos(pitch) * d
+    xyz[2] = np.sin(pitch) * d
+    ref = np.concatenate([d[None], inten[None], xyz], axis=0)
+    ref[:, ~valid] = -1
+    ref_t = torch.tensor(ref).float()
+    ref_resized = F.interpolate(
+        ref_t.unsqueeze(1), size=(64, 1024), mode="nearest"
+    ).squeeze(1).numpy()
+
+    ours = range_npy_to_input(npy)
+    np.testing.assert_allclose(
+        ours, ref_resized.transpose(1, 2, 0), atol=1e-5
     )
 
 

@@ -74,6 +74,33 @@ def test_plms_oracle_recovers_x0():
     np.testing.assert_allclose(np.asarray(out), expected, atol=2e-4)
 
 
+def test_ddpm_ancestral_sampling_converges_to_x0():
+    """Full 1000-step ancestral loop (reference ddpm.py:253-282) with the
+    eps-oracle: the posterior contracts toward x0 with small residual
+    stochastic noise."""
+    from mobi_tpu.models.samplers import ddpm_sample
+
+    sched = DiffusionSchedule.create(200, "linear", 0.00085, 0.0120)
+
+    def model_fn(x9, t, ctx):
+        x = x9[..., :4]
+        a_t = sched.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        return (x - jnp.sqrt(a_t) * X0) / jnp.sqrt(1.0 - a_t)
+
+    X0 = jax.random.normal(jax.random.PRNGKey(10), (2, 8, 8, 4)) * 0.4
+    x_T = jax.random.normal(jax.random.PRNGKey(11), X0.shape)
+    rest = jnp.zeros((2, 8, 8, 5))
+    cond = jnp.zeros((2, 2, 16))
+    out = ddpm_sample(
+        model_fn, sched, jax.random.PRNGKey(12), x_T, cond, rest,
+        clip_denoised=True,
+    )
+    err = float(jnp.abs(out - X0).mean())
+    init_err = float(jnp.abs(x_T - X0).mean())
+    assert err < 0.15 * init_err, f"ancestral sample err {err} vs {init_err}"
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
 def test_ddim_single_step_matches_reference_formula():
     """One step, by hand (ddim.py:195-212)."""
     x0 = jnp.full((1, 2, 2, 4), 0.3)
