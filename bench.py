@@ -74,8 +74,15 @@ def make_batch(b: int):
 
 
 def main():
+    import sys
+
+    def log(msg):
+        print(f"# {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr, flush=True)
+
+    log("building model + params (CPU init)")
     model, params = build()
     batch = make_batch(BATCH_PAIRS)
+    log(f"params ready; batch_pairs={BATCH_PAIRS} steps={STEPS}")
 
     @jax.jit
     def inpaint(params, batch, rng):
@@ -90,8 +97,11 @@ def main():
         )
 
     # warmup / compile
+    log("compiling + first run (cold compile can take many minutes)")
+    t_c = time.perf_counter()
     out = inpaint(params, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
+    log(f"warmup done in {time.perf_counter() - t_c:.1f}s; timing")
 
     n_iters = 3
     t0 = time.perf_counter()
@@ -99,6 +109,7 @@ def main():
         out = inpaint(params, batch, jax.random.PRNGKey(2 + i))
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / n_iters
+    log(f"steady-state {dt:.2f}s per batch of {BATCH_PAIRS}")
 
     inpaints_per_sec = BATCH_PAIRS / dt
     per_hour = inpaints_per_sec * 3600.0

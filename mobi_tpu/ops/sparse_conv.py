@@ -1,0 +1,180 @@
+"""Submanifold / strided sparse 3D convolution as gather-GEMM-scatter.
+
+TPU-native equivalent of the reference spconv kernels
+(/root/reference/bevfusion/mmdet3d/ops/spconv/src/{indice.cc, indice_cuda.cu,
+reordering.cc, reordering_cuda.cu, maxpool.cc}): spconv's algorithm is
+(1) build index "rulebook" pairs (input idx, output idx) per kernel offset,
+(2) gather input rows, (3) per-offset GEMM with that offset's weight slice,
+(4) scatter-add into output rows. On TPU the same structure maps cleanly:
+the rulebook is built HOST-side (hash maps over integer coords — irregular,
+cheap, done once per point cloud in the input pipeline), padded to static
+shapes, and the device program is pure gather + batched matmul (MXU) +
+segment-sum scatter — branch-free, jit-compatible.
+
+Box convention: coords are integer [N, 3] (x, y, z) voxel indices (batch
+handled by the caller via an extra leading coordinate if needed).
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jnp.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class Rulebook:
+    """Static-shape gather/scatter plan for one sparse conv layer.
+
+    in_idx / out_idx: [K, P] padded index pairs per kernel offset (pad rows
+    point at index n_in / n_out respectively and carry zero contribution).
+    counts[k] = number of real pairs for offset k.
+    """
+
+    in_idx: np.ndarray     # int32 [K, P]
+    out_idx: np.ndarray    # int32 [K, P]
+    counts: np.ndarray     # int32 [K]
+    out_coords: np.ndarray  # int32 [M, 3]
+    n_in: int
+    n_out: int
+
+
+def _hash_coords(coords: np.ndarray) -> Dict[Tuple[int, int, int], int]:
+    return {tuple(c): i for i, c in enumerate(coords.tolist())}
+
+
+def build_rulebook(
+    coords: np.ndarray,
+    kernel_size: Sequence[int] = (3, 3, 3),
+    stride: Sequence[int] = (1, 1, 1),
+    submanifold: bool = True,
+    pad_to: int | None = None,
+) -> Rulebook:
+    """Build the (input, output) index pairs per kernel offset (host side;
+    reference indice.cc getIndicePairs semantics).
+
+    * submanifold: output sites == input sites; a pair (i -> o) exists when
+      coords[i] == out_coords[o] + offset - kernel//2.
+    * strided (submanifold=False): output sites are the distinct
+      floor(coord / stride) cells; pair exists when the input voxel falls
+      into the kernel window anchored at the strided output site.
+    """
+    coords = np.asarray(coords, np.int64)
+    n_in = len(coords)
+    ks = np.asarray(kernel_size, np.int64)
+    st = np.asarray(stride, np.int64)
+    half = ks // 2
+
+    if submanifold:
+        out_coords = coords.copy()
+    else:
+        out_coords = np.unique(coords // st, axis=0)
+    out_of = _hash_coords(out_coords)
+
+    offsets = list(itertools.product(*[range(int(k)) for k in ks]))
+    pairs_in = [[] for _ in offsets]
+    pairs_out = [[] for _ in offsets]
+
+    if submanifold:
+        in_of = _hash_coords(coords)
+        for oi, oc in enumerate(out_coords.tolist()):
+            for k, off in enumerate(offsets):
+                ic = (
+                    oc[0] + off[0] - int(half[0]),
+                    oc[1] + off[1] - int(half[1]),
+                    oc[2] + off[2] - int(half[2]),
+                )
+                ii = in_of.get(ic)
+                if ii is not None:
+                    pairs_in[k].append(ii)
+                    pairs_out[k].append(oi)
+    else:
+        for ii, ic in enumerate(coords.tolist()):
+            oc = tuple(int(c) // int(s) for c, s in zip(ic, st))
+            oi = out_of.get(oc)
+            if oi is None:
+                continue
+            # kernel offset of this input within the output's window
+            off = tuple(int(ic[d]) - int(oc[d]) * int(st[d]) for d in range(3))
+            if all(0 <= off[d] < int(ks[d]) for d in range(3)):
+                k = (off[0] * int(ks[1]) + off[1]) * int(ks[2]) + off[2]
+                pairs_in[k].append(ii)
+                pairs_out[k].append(oi)
+
+    counts = np.asarray([len(p) for p in pairs_in], np.int32)
+    p = int(pad_to) if pad_to else max(1, int(counts.max()))
+    K = len(offsets)
+    in_idx = np.full((K, p), n_in, np.int32)
+    out_idx = np.full((K, p), len(out_coords), np.int32)
+    for k in range(K):
+        in_idx[k, : counts[k]] = pairs_in[k]
+        out_idx[k, : counts[k]] = pairs_out[k]
+    return Rulebook(
+        in_idx=in_idx, out_idx=out_idx, counts=counts,
+        out_coords=out_coords.astype(np.int32),
+        n_in=n_in, n_out=len(out_coords),
+    )
+
+
+def sparse_conv_apply(
+    features: Array,
+    weights: Array,
+    rulebook: Rulebook,
+    bias: Array | None = None,
+) -> Array:
+    """Device-side sparse conv: gather -> per-offset GEMM -> scatter-add.
+
+    features: [N_in, C_in]; weights: [K, C_in, C_out] (K = prod(kernel));
+    returns [N_out, C_out]. Pure jnp — jit/pjit/vmap compatible."""
+    n_out = rulebook.n_out
+    # pad a zero row so pad indices contribute nothing
+    f = jnp.concatenate(
+        [features, jnp.zeros((1, features.shape[-1]), features.dtype)], axis=0
+    )
+    in_idx = jnp.asarray(rulebook.in_idx)
+    out_idx = jnp.asarray(rulebook.out_idx)
+    gathered = f[in_idx]                       # [K, P, Cin]
+    # batched GEMM over kernel offsets -> MXU
+    prod = jnp.einsum(
+        "kpc,kcd->kpd", gathered, weights.astype(features.dtype),
+        preferred_element_type=jnp.float32,
+    )
+    out = jax.ops.segment_sum(
+        prod.reshape(-1, prod.shape[-1]),
+        out_idx.reshape(-1),
+        num_segments=n_out + 1,
+    )[:n_out].astype(features.dtype)
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def sparse_maxpool_apply(features: Array, rulebook: Rulebook) -> Array:
+    """Sparse max pooling over the same rulebook structure
+    (ops/spconv/src/maxpool.cc): max over all inputs mapped to each output."""
+    f = jnp.concatenate(
+        [features, jnp.full((1, features.shape[-1]), -jnp.inf, features.dtype)],
+        axis=0,
+    )
+    gathered = f[jnp.asarray(rulebook.in_idx)].reshape(-1, features.shape[-1])
+    out = jax.ops.segment_max(
+        gathered, jnp.asarray(rulebook.out_idx).reshape(-1),
+        num_segments=rulebook.n_out + 1,
+    )[: rulebook.n_out]
+    return jnp.where(jnp.isfinite(out), out, 0.0)
+
+
+def densify(
+    features: np.ndarray, coords: np.ndarray, grid: Sequence[int]
+) -> np.ndarray:
+    """Scatter sparse (features, coords) into a dense [X, Y, Z, C] grid —
+    test/debug helper."""
+    out = np.zeros((*grid, features.shape[-1]), np.asarray(features).dtype)
+    c = np.asarray(coords)
+    out[c[:, 0], c[:, 1], c[:, 2]] = np.asarray(features)
+    return out
