@@ -468,7 +468,10 @@ class MobiDiffusion:
         from mobi_tpu.models import samplers as S
 
         cfg = self.config
-        tables = SamplerTables.create(self.schedule, num_steps, eta=eta)
+        tables = (
+            SamplerTables.create(self.schedule, num_steps, eta=eta)
+            if sampler in ("plms", "ddim") else None
+        )
         z = data["z"]
         rest = z[..., 4:]
         cond = data["cond"]

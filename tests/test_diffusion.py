@@ -219,6 +219,24 @@ def test_sample_bf16_model_end_to_end():
         assert np.all(np.isfinite(np.asarray(decoded["lidar"], np.float32)))
 
 
+def test_ddpm_sampler_integration(model_params):
+    """sampler='ddpm' runs the full ancestral loop through the model surface
+    (uses a short schedule via a tiny-timesteps config clone)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY, timesteps=8)
+    model = MobiDiffusion(cfg)
+    model.cond_model = TinyCondStage(conditions=("ref_image", "ref_bbox"))
+    params = model.init_params(jax.random.PRNGKey(0))
+    batch = make_batch(b=1)
+    data = model.get_input(params, batch, jax.random.PRNGKey(0), encode_cond=True)
+    latents = model.sample(
+        params, data, jax.random.PRNGKey(1), guidance_scale=5.0, sampler="ddpm"
+    )
+    assert latents.shape == (2, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(latents)))
+
+
 def test_sample_and_decode_shapes(model_params):
     model, params = model_params
     batch = make_batch(b=1)
