@@ -1,0 +1,93 @@
+"""Detector-facing nuScenes dataset: the load-pipeline equivalent of the
+reference's mmdet3d stack for EVALUATING detectors on (edited) scenes.
+
+Covers the roles of /root/reference/bevfusion/mmdet3d/datasets/
+nuscenes_dataset.py:240-314 (get_data_info with image_paths / lidar2image /
+cam_types + the edited-samples swap-in) and pipelines/loading.py
+(LoadPointsFromFile, LoadMultiViewImageFromFiles, LoadAnnotations3D) on top of
+mobi_tpu's devkit-free table reader. Emits numpy dicts ready for a jitted
+detector:
+
+  {
+    "sample_token", "points" [N, 5], "images" [6, H, W, 3] float in [-1, 1],
+    "lidar2image" [6, 4, 4], "camera_intrinsics" [6, 4, 4],
+    "gt_bboxes_3d" [M, 7] (lidar frame, bottom-center z),
+    "gt_names" [M], "ann_tokens" [M] (instance tokens),
+  }
+
+`edited_samples_path` swaps edited sensor files in by stem (devkit
+nuscenes.py:127-149 patch); multi-sweep aggregation
+(LoadPointsFromMultiSweeps) is not implemented — keyframe clouds only, which
+is what the MObI edited-scene evaluation consumes.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+from mobi_tpu.data.nuscenes_tables import NuScenesTables, load_lidar_points
+
+
+class DetectionSceneDataset:
+    def __init__(
+        self,
+        dataroot: str,
+        version: str = "v1.0-mini",
+        edited_samples_path: Optional[str] = None,
+        load_images: bool = True,
+        max_points: Optional[int] = None,
+    ):
+        self.tables = NuScenesTables(
+            dataroot, version, edited_samples_path=edited_samples_path
+        )
+        self.load_images = load_images
+        self.max_points = max_points
+        self._samples = list(self.tables.samples_of_split())
+
+    def __len__(self) -> int:
+        return len(self._samples)
+
+    def __getitem__(self, i: int) -> Dict[str, Any]:
+        rec = self.tables.sample_record(self._samples[i])
+        points = load_lidar_points(rec["lidar_path"]).astype(np.float32)
+        if self.max_points is not None:
+            # fixed-shape clouds for jitted detectors: random subsample or
+            # zero-pad with an out-of-range sentinel
+            n = len(points)
+            if n > self.max_points:
+                sel = np.random.default_rng(i).choice(
+                    n, self.max_points, replace=False
+                )
+                points = points[sel]
+            elif n < self.max_points:
+                pad = np.full(
+                    (self.max_points - n, points.shape[1]), 1e4, np.float32
+                )
+                points = np.concatenate([points, pad])
+
+        out: Dict[str, Any] = {
+            "sample_token": rec["sample_token"],
+            "points": points,
+            "lidar2image": rec["lidar2image_transforms"].astype(np.float32),
+            "camera_intrinsics": rec["camera_intrinsics"].astype(np.float32),
+            "cam_types": rec["cam_types"],
+            "gt_bboxes_3d": rec["gt_bboxes_3d"].astype(np.float32),
+            "gt_names": list(rec["gt_names"]),
+            "ann_tokens": list(rec["ann_tokens"]),
+        }
+        if self.load_images:
+            from PIL import Image
+
+            imgs: List[np.ndarray] = []
+            for p in rec["image_paths"]:
+                with Image.open(p) as im:
+                    arr = np.asarray(im.convert("RGB"), np.float32)
+                imgs.append(arr / 127.5 - 1.0)
+            if imgs:
+                out["images"] = np.stack(imgs)
+        return out
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        for i in range(len(self)):
+            yield self[i]

@@ -56,6 +56,20 @@ def test_edited_samples_file_swap(raw_root):
     assert recs[1]["lidar_path"] != edited_file
 
 
+def test_detection_scene_dataset(raw_root):
+    from mobi_tpu.data.detection_dataset import DetectionSceneDataset
+
+    ds = DetectionSceneDataset(raw_root, "v1.0-mini", max_points=512)
+    assert len(ds) == 2
+    s = ds[0]
+    assert s["points"].shape == (512, 4)
+    assert s["lidar2image"].shape[1:] == (4, 4)
+    assert s["gt_bboxes_3d"].shape[1] == 7
+    assert len(s["gt_names"]) == len(s["ann_tokens"]) == len(s["gt_bboxes_3d"])
+    assert s["images"].ndim == 4 and s["images"].shape[-1] == 3
+    assert -1.0 <= s["images"].min() and s["images"].max() <= 1.0
+
+
 def _write_results(gt, path, jitter=0.0, seed=0):
     rng = np.random.default_rng(seed)
     results = {}
