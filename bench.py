@@ -84,6 +84,17 @@ def main():
     batch = make_batch(BATCH_PAIRS)
     log(f"params ready; batch_pairs={BATCH_PAIRS} steps={STEPS}")
 
+    # Pin params and the batch to the accelerator ONCE. Without this every
+    # call re-transfers the ~3.4 GB fp32 parameter tree through the tunnel,
+    # which dominated the r2 first measurement (~78 inpaints/hr).
+    dev = jax.devices()[0]
+    log(f"transferring params to {dev.platform} ...")
+    t_x = time.perf_counter()
+    params = jax.device_put(params, dev)
+    batch = jax.device_put(batch, dev)
+    jax.block_until_ready(params)
+    log(f"transfer done in {time.perf_counter() - t_x:.1f}s")
+
     @jax.jit
     def inpaint(params, batch, rng):
         k1, k2 = jax.random.split(rng)

@@ -305,11 +305,22 @@ def main():
     p.add_argument("--info-prefix", default="nuscenes")
     p.add_argument("--num-erase", type=int, default=None)
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--write-infos", action="store_true",
+                   help="also write {prefix}_infos_{train,val}.pkl "
+                        "(reference create_nuscenes_infos stage)")
+    p.add_argument("--max-sweeps", type=int, default=10)
     args = p.parse_args()
     out = build_pbe_database(
         args.dataroot, args.out_dir, args.version, args.split,
         args.info_prefix, args.num_erase, max_samples=args.max_samples,
     )
+    if args.write_infos:
+        from mobi_tpu.data.infos_converter import create_nuscenes_infos
+
+        out.update(create_nuscenes_infos(
+            args.dataroot, args.out_dir, args.version, args.info_prefix,
+            max_sweeps=args.max_sweeps,
+        ))
     print(out)
 
 
