@@ -52,6 +52,8 @@ def build_rulebook(
     coords: np.ndarray,
     kernel_size: Sequence[int] = (3, 3, 3),
     stride: Sequence[int] = (1, 1, 1),
+    padding: Sequence[int] = (0, 0, 0),
+    spatial_shape: Sequence[int] | None = None,
     submanifold: bool = True,
     pad_to: int | None = None,
 ) -> Rulebook:
@@ -59,52 +61,62 @@ def build_rulebook(
     reference indice.cc getIndicePairs semantics).
 
     * submanifold: output sites == input sites; a pair (i -> o) exists when
-      coords[i] == out_coords[o] + offset - kernel//2.
-    * strided (submanifold=False): output sites are the distinct
-      floor(coord / stride) cells; pair exists when the input voxel falls
-      into the kernel window anchored at the strided output site.
+      coords[i] == out_coords[o] + offset - kernel//2 (stride/padding
+      ignored, like SubMConv3d).
+    * strided (submanifold=False): standard sparse conv arithmetic —
+      out * stride + offset - padding = in; output sites are the union of
+      reachable cells, bounded by (spatial_shape + 2p - k)//s + 1 when
+      `spatial_shape` is given (SparseConv3d semantics).
     """
     coords = np.asarray(coords, np.int64)
     n_in = len(coords)
-    ks = np.asarray(kernel_size, np.int64)
-    st = np.asarray(stride, np.int64)
-    half = ks // 2
+    ks = [int(k) for k in kernel_size]
+    st = [int(s) for s in stride]
+    pd = [int(p) for p in padding]
+    half = [k // 2 for k in ks]
 
-    if submanifold:
-        out_coords = coords.copy()
-    else:
-        out_coords = np.unique(coords // st, axis=0)
-    out_of = _hash_coords(out_coords)
-
-    offsets = list(itertools.product(*[range(int(k)) for k in ks]))
+    offsets = list(itertools.product(*[range(k) for k in ks]))
     pairs_in = [[] for _ in offsets]
     pairs_out = [[] for _ in offsets]
 
     if submanifold:
+        out_coords = coords.copy()
         in_of = _hash_coords(coords)
         for oi, oc in enumerate(out_coords.tolist()):
             for k, off in enumerate(offsets):
-                ic = (
-                    oc[0] + off[0] - int(half[0]),
-                    oc[1] + off[1] - int(half[1]),
-                    oc[2] + off[2] - int(half[2]),
-                )
+                ic = tuple(oc[d] + off[d] - half[d] for d in range(3))
                 ii = in_of.get(ic)
                 if ii is not None:
                     pairs_in[k].append(ii)
                     pairs_out[k].append(oi)
     else:
+        if spatial_shape is not None:
+            out_shape = [
+                (int(spatial_shape[d]) + 2 * pd[d] - ks[d]) // st[d] + 1
+                for d in range(3)
+            ]
+        else:
+            out_shape = None
+        # discover output sites in input-scan order (first-seen)
+        out_of: Dict[Tuple[int, int, int], int] = {}
+        out_list: list = []
         for ii, ic in enumerate(coords.tolist()):
-            oc = tuple(int(c) // int(s) for c, s in zip(ic, st))
-            oi = out_of.get(oc)
-            if oi is None:
-                continue
-            # kernel offset of this input within the output's window
-            off = tuple(int(ic[d]) - int(oc[d]) * int(st[d]) for d in range(3))
-            if all(0 <= off[d] < int(ks[d]) for d in range(3)):
-                k = (off[0] * int(ks[1]) + off[1]) * int(ks[2]) + off[2]
+            for k, off in enumerate(offsets):
+                tmp = tuple(ic[d] + pd[d] - off[d] for d in range(3))
+                if any(t % st[d] != 0 or t < 0 for d, t in enumerate(tmp)):
+                    continue
+                oc = tuple(t // st[d] for d, t in enumerate(tmp))
+                if out_shape is not None and any(
+                    oc[d] >= out_shape[d] for d in range(3)
+                ):
+                    continue
+                oi = out_of.get(oc)
+                if oi is None:
+                    oi = out_of[oc] = len(out_list)
+                    out_list.append(oc)
                 pairs_in[k].append(ii)
                 pairs_out[k].append(oi)
+        out_coords = np.asarray(out_list, np.int64).reshape(-1, 3)
 
     counts = np.asarray([len(p) for p in pairs_in], np.int32)
     p = int(pad_to) if pad_to else max(1, int(counts.max()))

@@ -50,6 +50,9 @@ def parse_args(argv=None):
     p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax profiler trace of steps 10-15 into "
+                        "this directory (tensorboard-compatible)")
     args, unknown = p.parse_known_args(argv)
     return args, unknown
 
@@ -207,8 +210,14 @@ def main(argv=None):
             for batch in train_loader:
                 batch_dev = shard_batch(mesh, strip_host_fields(batch))
                 rng, sub = jax.random.split(rng)
+                if args.profile_dir and step == 10:
+                    jax.profiler.start_trace(args.profile_dir)
                 with mesh:
                     state, m = step_fn(state, batch_dev, sub)
+                if args.profile_dir and step == 15:
+                    jax.block_until_ready(m["loss"])
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {args.profile_dir}")
                 step += 1
                 if step % args.image_log_every == 0:
                     rng, sub = jax.random.split(rng)
