@@ -241,6 +241,234 @@ class ConvFuser(nn.Module):
         return _ConvBNReLU(self.out_channels, name="fuse")(x)
 
 
+class _PosEmbedLearned(nn.Module):
+    """Learned positional embedding over (x, y) query positions
+    (models/utils/transformer.py:14-30): 1x1 conv -> BN -> ReLU -> 1x1."""
+
+    ch: int
+
+    @nn.compact
+    def __call__(self, pos: Array) -> Array:  # [B, P, 2] -> [B, P, C]
+        h = nn.Dense(self.ch, param_dtype=jnp.float32, name="fc1")(pos)
+        h = _bn(self, "bn", h, self.ch, eps=1e-5)
+        h = nn.relu(h)
+        return nn.Dense(self.ch, param_dtype=jnp.float32, name="fc2")(h)
+
+
+class _MHA(nn.Module):
+    """torch nn.MultiheadAttention equivalent (biased q/k/v/out projections),
+    dropout disabled (inference)."""
+
+    ch: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, q: Array, k: Array, v: Array) -> Array:
+        from mobi_tpu.ops.attention import dot_product_attention
+
+        qp = nn.Dense(self.ch, param_dtype=jnp.float32, name="q")(q)
+        kp = nn.Dense(self.ch, param_dtype=jnp.float32, name="k")(k)
+        vp = nn.Dense(self.ch, param_dtype=jnp.float32, name="v")(v)
+        out = dot_product_attention(qp, kp, vp, num_heads=self.heads,
+                                    backend="xla")
+        return nn.Dense(self.ch, param_dtype=jnp.float32, name="out")(out)
+
+
+class _DecoderLayer(nn.Module):
+    """DETR-style post-norm decoder layer with learned pos embeddings
+    (models/utils/transformer.py:33-110)."""
+
+    ch: int
+    heads: int
+    ffn: int
+
+    @nn.compact
+    def __call__(self, query, key, query_pos, key_pos):
+        qe = _PosEmbedLearned(self.ch, name="self_posembed")(query_pos)
+        ke = _PosEmbedLearned(self.ch, name="cross_posembed")(key_pos)
+
+        h = _MHA(self.ch, self.heads, name="self_attn")(
+            query + qe, query + qe, query + qe
+        )
+        query = nn.LayerNorm(name="norm1")(query + h)
+        h = _MHA(self.ch, self.heads, name="cross_attn")(
+            query + qe, key + ke, key + ke
+        )
+        query = nn.LayerNorm(name="norm2")(query + h)
+        h = nn.Dense(self.ffn, param_dtype=jnp.float32, name="linear1")(query)
+        h = nn.Dense(self.ch, param_dtype=jnp.float32, name="linear2")(nn.relu(h))
+        return nn.LayerNorm(name="norm3")(query + h)
+
+
+class _PredictionFFN(nn.Module):
+    """Per-quantity 1x1 conv heads (models/utils/transformer.py:496-545):
+    center 2, height 1, dim 3, rot 2, vel 2, heatmap num_classes."""
+
+    num_classes: int
+    head_conv: int = 64
+
+    @nn.compact
+    def __call__(self, x: Array) -> Dict[str, Array]:  # [B, P, C]
+        out = {}
+        specs = dict(center=2, height=1, dim=3, rot=2, vel=2,
+                     heatmap=self.num_classes)
+        for name, ch in specs.items():
+            h = nn.Dense(self.head_conv, param_dtype=jnp.float32,
+                         name=f"{name}_fc")(x)
+            h = _bn(self, f"{name}_bn", h, self.head_conv, eps=1e-5)
+            h = nn.relu(h)
+            bias_init = (
+                nn.initializers.constant(-2.19) if name == "heatmap"
+                else nn.initializers.zeros
+            )
+            out[name] = nn.Dense(
+                ch, param_dtype=jnp.float32, bias_init=bias_init,
+                name=f"{name}_out",
+            )(h)
+        return out
+
+
+class TransFusionHeadTPU(nn.Module):
+    """TransFusion detection head, inference path
+    (heads/bbox/transfusion.py:37-345 + get_bboxes:715-800), static shapes:
+
+      BEV feature [B, H, W, in] -> dense heatmap -> local-max suppression
+      (k=3; identity for pedestrian/traffic_cone classes 8/9) -> top-K
+      proposals over (class, cell) -> class-encoded queries -> transformer
+      decoder (self + BEV cross attention with learned pos embeddings) ->
+      per-quantity FFN heads; box decoding per TransFusionBBoxCoder.
+
+    Training losses (Hungarian matching + focal/L1) are staged for a later
+    round; this provides the eval path producing boxes for DetectionEval.
+    """
+
+    num_classes: int = 10
+    num_proposals: int = 200
+    hidden: int = 128
+    num_decoder_layers: int = 1
+    heads: int = 8
+    ffn: int = 256
+    nms_kernel: int = 3
+    out_size_factor: int = 8
+    voxel_size: Tuple[float, float] = (0.075, 0.075)
+    pc_range: Tuple[float, float] = (-54.0, -54.0)
+    identity_nms_classes: Tuple[int, ...] = (8, 9)
+
+    @nn.compact
+    def __call__(self, bev: Array) -> Dict[str, Array]:
+        B, H, W, _ = bev.shape
+        feat = nn.Conv(self.hidden, (3, 3), padding=((1, 1), (1, 1)),
+                       param_dtype=jnp.float32, name="shared_conv")(bev)
+
+        h = _ConvBNReLU(self.hidden, name="heatmap_conv")(feat)
+        dense_heatmap = nn.Conv(
+            self.num_classes, (3, 3), padding=((1, 1), (1, 1)),
+            bias_init=nn.initializers.constant(-2.19),
+            param_dtype=jnp.float32, name="heatmap_out",
+        )(h)  # [B, H, W, C]
+
+        heatmap = jax.nn.sigmoid(dense_heatmap)
+        # local-maximum suppression (transfusion.py:239-266)
+        k = self.nms_kernel
+        pad = k // 2
+        inner = jax.lax.reduce_window(
+            heatmap, -jnp.inf, jax.lax.max, (1, k, k, 1), (1, 1, 1, 1),
+            "VALID",
+        )
+        local_max = jnp.zeros_like(heatmap)
+        local_max = local_max.at[:, pad:H - pad, pad:W - pad, :].set(inner)
+        ident = jnp.asarray(
+            [c in self.identity_nms_classes for c in range(self.num_classes)]
+        )
+        local_max = jnp.where(ident[None, None, None, :], heatmap, local_max)
+        peaks = heatmap * (heatmap == local_max)
+
+        # top-K proposals over (class, cell)
+        flat = peaks.transpose(0, 3, 1, 2).reshape(B, -1)  # [B, C*HW]
+        _, top = jax.lax.top_k(flat, self.num_proposals)
+        hw = H * W
+        top_class = top // hw                                  # [B, P]
+        top_index = top % hw
+
+        feat_flat = feat.reshape(B, hw, self.hidden)
+        query_feat = jnp.take_along_axis(
+            feat_flat, top_index[..., None], axis=1
+        )  # [B, P, hidden]
+        one_hot = jax.nn.one_hot(top_class, self.num_classes)
+        query_feat = query_feat + nn.Dense(
+            self.hidden, param_dtype=jnp.float32, name="class_encoding"
+        )(one_hot)
+
+        # bev grid positions (cell centers +0.5, create_2D_grid)
+        ys, xs = jnp.meshgrid(
+            jnp.arange(H, dtype=jnp.float32), jnp.arange(W, dtype=jnp.float32),
+            indexing="ij",
+        )
+        bev_pos = jnp.stack([xs.reshape(-1), ys.reshape(-1)], -1) + 0.5
+        bev_pos = jnp.broadcast_to(bev_pos, (B, hw, 2))
+        query_pos = jnp.take_along_axis(bev_pos, top_index[..., None], axis=1)
+
+        heat_flat = peaks.transpose(0, 3, 1, 2).reshape(B, self.num_classes, hw)
+        query_heat_score = jnp.take_along_axis(
+            heat_flat, top_index[:, None, :].repeat(self.num_classes, 1),
+            axis=2,
+        ).transpose(0, 2, 1)  # [B, P, C]
+
+        preds = None
+        for i in range(self.num_decoder_layers):
+            query_feat = _DecoderLayer(
+                self.hidden, self.heads, self.ffn, name=f"decoder{i}"
+            )(query_feat, feat_flat, query_pos, bev_pos)
+            preds = _PredictionFFN(self.num_classes, name=f"pred{i}")(query_feat)
+            preds["center"] = preds["center"] + query_pos
+            query_pos = jax.lax.stop_gradient(preds["center"])
+
+        preds["query_heatmap_score"] = query_heat_score
+        preds["query_labels"] = top_class
+        preds["dense_heatmap"] = dense_heatmap
+        return preds
+
+    def decode_boxes(
+        self, preds: Dict[str, Array],
+        post_center_range=(-61.2, -61.2, -10.0, 61.2, 61.2, 10.0),
+        score_threshold: float = 0.0,
+    ) -> Dict[str, Array]:
+        """TransFusionBBoxCoder.decode + get_bboxes score fusion
+        (coders/transfusion_bbox_coder.py:39-100, transfusion.py:723-732).
+        Static shapes: returns per-proposal boxes with a `keep` mask."""
+        one_hot = jax.nn.one_hot(preds["query_labels"], self.num_classes)
+        score = (
+            jax.nn.sigmoid(preds["heatmap"])
+            * preds["query_heatmap_score"] * one_hot
+        )  # [B, P, C]
+        labels = jnp.argmax(score, axis=-1)
+        scores = jnp.max(score, axis=-1)
+
+        cx = (preds["center"][..., 0] * self.out_size_factor
+              * self.voxel_size[0] + self.pc_range[0])
+        cy = (preds["center"][..., 1] * self.out_size_factor
+              * self.voxel_size[1] + self.pc_range[1])
+        dim = jnp.exp(preds["dim"])
+        z = preds["height"][..., 0] - dim[..., 2] * 0.5  # gravity -> bottom
+        yaw = jnp.arctan2(preds["rot"][..., 0], preds["rot"][..., 1])
+        boxes = jnp.concatenate(
+            [
+                jnp.stack([cx, cy, z], -1), dim, yaw[..., None],
+                preds["vel"],
+            ],
+            axis=-1,
+        )  # [B, P, 9]
+        lo = jnp.asarray(post_center_range[:3])
+        hi = jnp.asarray(post_center_range[3:])
+        keep = (
+            (scores > score_threshold)
+            & (boxes[..., :3] >= lo).all(-1)
+            & (boxes[..., :3] <= hi).all(-1)
+        )
+        return {"bboxes": boxes, "scores": scores, "labels": labels,
+                "keep": keep}
+
+
 class LidarBEVNetwork(nn.Module):
     """Voxel features -> BEV feature map for the detection head: sparse
     encoder -> SECOND -> FPN (the lidar-only detector body)."""

@@ -99,6 +99,54 @@ def test_conv_fuser():
     assert out.shape == (1, 16, 16, 256)
 
 
+def test_transfusion_head_forward_and_decode():
+    from mobi_tpu.models.bevfusion import TransFusionHeadTPU
+
+    head = TransFusionHeadTPU(num_proposals=32)
+    bev = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 32, 512)) * 0.1
+    params = head.init(jax.random.PRNGKey(1), bev)
+    preds = head.apply(params, bev)
+    assert preds["center"].shape == (1, 32, 2)
+    assert preds["heatmap"].shape == (1, 32, 10)
+    assert preds["dense_heatmap"].shape == (1, 32, 32, 10)
+
+    out = head.apply(params, preds, method=head.decode_boxes)
+    assert out["bboxes"].shape == (1, 32, 9)
+    assert out["scores"].shape == (1, 32)
+    assert out["labels"].shape == (1, 32)
+    assert np.all(np.isfinite(np.asarray(out["bboxes"])))
+    assert np.asarray(out["scores"]).min() >= 0
+    # boxes decode into the point-cloud range scale
+    assert np.abs(np.asarray(out["bboxes"][..., :2])).max() <= 61.3
+
+    # top-k proposals pick heatmap peaks: plant a strong peak, expect its
+    # cell among the selected positions
+    bev_peak = bev.at[0, 16, 20, :].add(20.0)
+    preds2 = head.apply(params, bev_peak)
+    # peak cell index = y*W + x in the flattened grid
+    centers = np.asarray(preds2["center"][0])
+    assert np.any(
+        (np.abs(centers[:, 0] - 20.5) < 2) & (np.abs(centers[:, 1] - 16.5) < 2)
+    )
+
+
+def test_transfusion_head_jit():
+    from mobi_tpu.models.bevfusion import TransFusionHeadTPU
+
+    head = TransFusionHeadTPU(num_proposals=16)
+    bev = jax.random.normal(jax.random.PRNGKey(2), (2, 16, 16, 512)) * 0.1
+    params = head.init(jax.random.PRNGKey(3), bev)
+
+    @jax.jit
+    def run(p, x):
+        preds = head.apply(p, x)
+        return head.apply(p, preds, method=head.decode_boxes)
+
+    out = run(params, bev)
+    assert out["bboxes"].shape == (2, 16, 9)
+    assert np.all(np.isfinite(np.asarray(out["scores"])))
+
+
 def test_lidar_bev_network_end_to_end(sparse_input):
     feats, coords = sparse_input
     plans, out_coords, out_shape = plan_sparse_encoder(coords, SPARSE_SHAPE)
