@@ -241,6 +241,147 @@ class ConvFuser(nn.Module):
         return _ConvBNReLU(self.out_channels, name="fuse")(x)
 
 
+def build_sparse_depth_map(
+    points: np.ndarray,
+    lidar2image: np.ndarray,
+    image_size: Tuple[int, int],
+) -> np.ndarray:
+    """Host-side sparse depth map for DepthLSSTransform
+    (vtransforms/base.py:241-280): project lidar points per camera, keep
+    in-frame hits, scatter ray distance into a [N_cam, iH, iW, 1] map."""
+    iH, iW = image_size
+    n_cam = len(lidar2image)
+    depth = np.zeros((n_cam, iH, iW, 1), np.float32)
+    pts = np.asarray(points)[:, :3]
+    hom = np.concatenate([pts, np.ones((len(pts), 1))], 1)
+    for c in range(n_cam):
+        proj = hom @ np.asarray(lidar2image[c]).reshape(4, 4).T
+        dist = proj[:, 2]
+        z = np.clip(dist, 1e-5, 1e5)
+        u = proj[:, 0] / z
+        v = proj[:, 1] / z
+        keep = (u >= 0) & (u < iW) & (v >= 0) & (v < iH)
+        depth[c, v[keep].astype(int), u[keep].astype(int), 0] = dist[keep]
+    return depth
+
+
+class DepthLSSTransformTPU(nn.Module):
+    """Lift-Splat-Shoot camera->BEV view transform with lidar depth guidance
+    (vtransforms/depth_lss.py:15-101 + base.py:21-206).
+
+    Per camera: a small CNN encodes the sparse lidar depth map, concatenated
+    with the image features; depthnet predicts a D-bin depth distribution and
+    C context channels; the outer product lifts features into the camera
+    frustum; frustum points are mapped to lidar-frame voxels via
+    camera2lidar @ K^-1 and pooled into the BEV grid with
+    mobi_tpu.ops.voxel_ops.bev_pool (the CUDA bev_pool equivalent).
+    """
+
+    in_channels: int = 256
+    out_channels: int = 80
+    image_size: Tuple[int, int] = (256, 704)
+    feature_size: Tuple[int, int] = (32, 88)
+    xbound: Tuple[float, float, float] = (-54.0, 54.0, 0.3)
+    ybound: Tuple[float, float, float] = (-54.0, 54.0, 0.3)
+    zbound: Tuple[float, float, float] = (-10.0, 10.0, 20.0)
+    dbound: Tuple[float, float, float] = (1.0, 60.0, 0.5)
+    downsample: int = 2
+
+    @property
+    def D(self) -> int:
+        return int(round((self.dbound[1] - self.dbound[0]) / self.dbound[2]))
+
+    def frustum(self) -> Array:
+        """[D, fH, fW, 3] (u, v, depth) sample points (base.py:53-77)."""
+        iH, iW = self.image_size
+        fH, fW = self.feature_size
+        ds = self.dbound[0] + self.dbound[2] * jnp.arange(self.D, dtype=jnp.float32)
+        xs = jnp.linspace(0, iW - 1, fW)
+        ys = jnp.linspace(0, iH - 1, fH)
+        d, y, x = jnp.meshgrid(ds, ys, xs, indexing="ij")
+        return jnp.stack([x, y, d], axis=-1)
+
+    def geometry(self, cam2lidar: Array, intrins: Array) -> Array:
+        """Frustum -> lidar-frame xyz [N, D, fH, fW, 3] (base.py:79-122;
+        image augmentation matrices are identity at eval)."""
+        fr = self.frustum()
+        uvd = jnp.concatenate(
+            [fr[..., :2] * fr[..., 2:3], fr[..., 2:3]], axis=-1
+        )  # [D, fH, fW, 3]
+        combine = jnp.einsum(
+            "nij,njk->nik", cam2lidar[:, :3, :3], jnp.linalg.inv(intrins)
+        )
+        pts = jnp.einsum("nij,dhwj->ndhwi", combine, uvd)
+        return pts + cam2lidar[:, None, None, None, :3, 3]
+
+    @nn.compact
+    def __call__(
+        self, img_feats: Array, depth_map: Array, cam2lidar: Array,
+        intrins: Array,
+    ) -> Array:
+        """img_feats [N, fH, fW, Cin]; depth_map [N, iH, iW, 1];
+        cam2lidar [N, 4, 4]; intrins [N, 3, 3] -> BEV [1, X, Y, C]."""
+        n = img_feats.shape[0]
+
+        d = nn.Conv(8, (1, 1), param_dtype=jnp.float32, name="dt_conv0")(depth_map)
+        d = nn.relu(_bn(self, "dt_bn0", d, 8, eps=1e-5))
+        d = nn.Conv(32, (5, 5), strides=(4, 4), padding=((2, 2), (2, 2)),
+                    param_dtype=jnp.float32, name="dt_conv1")(d)
+        d = nn.relu(_bn(self, "dt_bn1", d, 32, eps=1e-5))
+        d = nn.Conv(64, (5, 5), strides=(2, 2), padding=((2, 2), (2, 2)),
+                    param_dtype=jnp.float32, name="dt_conv2")(d)
+        d = nn.relu(_bn(self, "dt_bn2", d, 64, eps=1e-5))
+
+        x = jnp.concatenate([d, img_feats], axis=-1)
+        x = nn.Conv(self.in_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    param_dtype=jnp.float32, name="dn_conv0")(x)
+        x = nn.relu(_bn(self, "dn_bn0", x, self.in_channels, eps=1e-5))
+        x = nn.Conv(self.in_channels, (3, 3), padding=((1, 1), (1, 1)),
+                    param_dtype=jnp.float32, name="dn_conv1")(x)
+        x = nn.relu(_bn(self, "dn_bn1", x, self.in_channels, eps=1e-5))
+        x = nn.Conv(self.D + self.out_channels, (1, 1),
+                    param_dtype=jnp.float32, name="dn_out")(x)
+
+        depth = jax.nn.softmax(x[..., : self.D], axis=-1)       # [N, fH, fW, D]
+        ctx = x[..., self.D:]                                   # [N, fH, fW, C]
+        lifted = depth[..., None] * ctx[..., None, :]           # [N, fH, fW, D, C]
+        lifted = lifted.transpose(0, 3, 1, 2, 4)                # [N, D, fH, fW, C]
+
+        geom = self.geometry(cam2lidar, intrins)                # [N, D, fH, fW, 3]
+        lo = jnp.asarray([self.xbound[0], self.ybound[0], self.zbound[0]])
+        dx = jnp.asarray([self.xbound[2], self.ybound[2], self.zbound[2]])
+        nx = [
+            int(round((b[1] - b[0]) / b[2]))
+            for b in (self.xbound, self.ybound, self.zbound)
+        ]
+        vox = jnp.floor((geom - lo) / dx).astype(jnp.int32)
+
+        from mobi_tpu.ops.voxel_ops import bev_pool
+
+        flat_feats = lifted.reshape(-1, self.out_channels)
+        coords = jnp.concatenate(
+            [
+                jnp.zeros((flat_feats.shape[0], 1), jnp.int32),  # batch 0
+                vox.reshape(-1, 3)[:, 2:3],                       # z
+                vox.reshape(-1, 3)[:, 0:1],                       # x
+                vox.reshape(-1, 3)[:, 1:2],                       # y
+            ],
+            axis=1,
+        )
+        bev = bev_pool(flat_feats, coords, 1, nx[2], nx[0], nx[1])
+        # [1, Z, X, Y, C] -> [1, X, Y, Z*C]
+        bev = bev.transpose(0, 2, 3, 1, 4).reshape(
+            1, nx[0], nx[1], nx[2] * self.out_channels
+        )
+
+        if self.downsample > 1:
+            bev = _ConvBNReLU(self.out_channels, name="ds_conv0")(bev)
+            bev = _ConvBNReLU(self.out_channels, stride=self.downsample,
+                              name="ds_conv1")(bev)
+            bev = _ConvBNReLU(self.out_channels, name="ds_conv2")(bev)
+        return bev
+
+
 class _PosEmbedLearned(nn.Module):
     """Learned positional embedding over (x, y) query positions
     (models/utils/transformer.py:14-30): 1x1 conv -> BN -> ReLU -> 1x1."""

@@ -99,6 +99,59 @@ def test_conv_fuser():
     assert out.shape == (1, 16, 16, 256)
 
 
+def test_depth_lss_transform():
+    from mobi_tpu.models.bevfusion import (
+        DepthLSSTransformTPU,
+        build_sparse_depth_map,
+    )
+
+    # tiny geometry: 2 cameras, 64x176 images, 8x22 features, coarse BEV
+    vt = DepthLSSTransformTPU(
+        in_channels=32, out_channels=16, image_size=(64, 176),
+        feature_size=(8, 22), xbound=(-10, 10, 0.5), ybound=(-10, 10, 0.5),
+        zbound=(-10, 10, 20.0), dbound=(1.0, 9.0, 1.0), downsample=2,
+    )
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-8, 8, (500, 3)).astype(np.float32)
+    K = np.array([[100.0, 0, 88], [0, 100.0, 32], [0, 0, 1]])
+    l2i = []
+    c2l = []
+    for yaw in (0.0, np.pi / 2):
+        c, s = np.cos(yaw), np.sin(yaw)
+        # lidar->cam rows = camera (right, down, forward) axes in lidar frame
+        fwd = np.array([c, s, 0.0])
+        right = np.array([s, -c, 0.0])
+        down = np.array([0.0, 0.0, -1.0])
+        R_lc = np.stack([right, down, fwd])          # lidar -> cam
+        T = np.eye(4)
+        T[:3, :3] = R_lc
+        K4 = np.eye(4)
+        K4[:3, :3] = K
+        l2i.append(K4 @ T)
+        C = np.eye(4)
+        C[:3, :3] = R_lc.T                            # cam -> lidar
+        c2l.append(C)
+    depth_map = build_sparse_depth_map(pts, np.stack(l2i), (64, 176))
+    assert depth_map.shape == (2, 64, 176, 1)
+    assert depth_map.max() > 0  # some points landed in frame
+
+    feats = jnp.asarray(rng.normal(size=(2, 8, 22, 32)).astype(np.float32))
+    params = vt.init(
+        jax.random.PRNGKey(0), feats, jnp.asarray(depth_map),
+        jnp.asarray(np.stack(c2l), jnp.float32),
+        jnp.asarray(np.stack([K, K]), jnp.float32),
+    )
+    bev = vt.apply(
+        params, feats, jnp.asarray(depth_map),
+        jnp.asarray(np.stack(c2l), jnp.float32),
+        jnp.asarray(np.stack([K, K]), jnp.float32),
+    )
+    # 40x40 grid downsampled by 2 -> 20x20, out 16ch
+    assert bev.shape == (1, 20, 20, 16)
+    assert np.all(np.isfinite(np.asarray(bev)))
+    assert float(jnp.abs(bev).sum()) > 0
+
+
 def test_transfusion_head_forward_and_decode():
     from mobi_tpu.models.bevfusion import TransFusionHeadTPU
 
