@@ -118,7 +118,10 @@ def main():
     t0 = time.perf_counter()
     for i in range(n_iters):
         out = inpaint(params, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out)
+        # fetch a scalar to host: on the tunneled runtime block_until_ready
+        # can resolve before execution finishes (async dispatch); a host
+        # read of the result cannot
+        _ = float(out["camera"].reshape(-1)[0])
     dt = (time.perf_counter() - t0) / n_iters
     log(f"steady-state {dt:.2f}s per batch of {BATCH_PAIRS}")
 
