@@ -24,7 +24,7 @@ consumes.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -624,3 +624,99 @@ class LidarBEVNetwork(nn.Module):
         )
         outs = SECONDBackbone(name="backbone")(bev)
         return SECONDFPN(name="neck")(outs)
+
+
+class BEVFusionDetector(nn.Module):
+    """Full camera+lidar detector composition
+    (fusion_models/bevfusion.py:25-310, inference path):
+
+      camera: Swin-T -> GeneralizedLSSFPN -> DepthLSSTransform -> BEV
+      lidar:  hard voxelize (host) -> HardSimpleVFE -> SparseEncoderTPU -> BEV
+      fusion: ConvFuser -> SECOND -> SECONDFPN -> TransFusionHead -> boxes
+
+    Host-side inputs are prepared by `prepare_lidar_inputs` /
+    `build_sparse_depth_map` (irregular index work stays off-device; the
+    device program is static-shape). `use_camera=False` gives the lidar-only
+    voxelnet configuration.
+    """
+
+    use_camera: bool = True
+    num_classes: int = 10
+    num_proposals: int = 200
+    camera_out: int = 80
+    fuse_channels: int = 256
+    lss_kwargs: Optional[Dict] = None
+
+    def setup(self):
+        from mobi_tpu.models.swin import GeneralizedLSSFPN, SwinTransformerTPU
+
+        if self.use_camera:
+            self.camera_backbone = SwinTransformerTPU()
+            self.camera_neck = GeneralizedLSSFPN(out_channels=256)
+            self.vtransform = DepthLSSTransformTPU(
+                in_channels=256, out_channels=self.camera_out,
+                **(self.lss_kwargs or {}),
+            )
+        self.lidar_encoder = SparseEncoderTPU()
+        self.fuser = ConvFuser(out_channels=self.fuse_channels)
+        self.backbone = SECONDBackbone()
+        self.neck = SECONDFPN()
+        self.head = TransFusionHeadTPU(
+            num_classes=self.num_classes, num_proposals=self.num_proposals
+        )
+
+    def __call__(
+        self,
+        voxel_feats: Array,
+        plans: Dict[str, Rulebook],
+        out_coords: np.ndarray,
+        out_shape: Tuple[int, int, int],
+        images: Array | None = None,
+        depth_map: Array | None = None,
+        cam2lidar: Array | None = None,
+        intrins: Array | None = None,
+    ) -> Dict[str, Array]:
+        lidar_bev = self.lidar_encoder(voxel_feats, plans, out_coords, out_shape)
+        if self.use_camera:
+            feats = self.camera_backbone(images)
+            feats = self.camera_neck(feats)
+            cam_bev = self.vtransform(feats[0], depth_map, cam2lidar, intrins)
+            # LSS grid and the sparse-encoder BEV share the detector grid;
+            # resize guards small mismatches from padding arithmetic
+            if cam_bev.shape[1:3] != lidar_bev.shape[1:3]:
+                cam_bev = jax.image.resize(
+                    cam_bev, lidar_bev.shape[:3] + (cam_bev.shape[-1],),
+                    method="bilinear",
+                )
+            x = self.fuser([cam_bev, lidar_bev])
+        else:
+            x = self.fuser([lidar_bev])
+        x = self.neck(self.backbone(x))
+        return self.head(x)
+
+    def decode(self, preds: Dict[str, Array]) -> Dict[str, Array]:
+        return self.head.decode_boxes(preds)
+
+
+def prepare_lidar_inputs(
+    points: np.ndarray,
+    voxel_size=(0.075, 0.075, 0.2),
+    pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+    max_points: int = 10,
+    max_voxels: int = 120000,
+):
+    """Host-side stage: hard voxelize + mean VFE + sparse-conv plans
+    (the reference's voxelize()+SparseEncoder indice build)."""
+    from mobi_tpu import native
+
+    voxels, coords, npv = native.hard_voxelize(
+        points, voxel_size, pc_range, max_points=max_points,
+        max_voxels=max_voxels,
+    )
+    feats = hard_simple_vfe(jnp.asarray(voxels), jnp.asarray(npv))
+    grid = tuple(
+        int(round((pc_range[i + 3] - pc_range[i]) / voxel_size[i]))
+        for i in range(3)
+    )
+    plans, out_coords, out_shape = plan_sparse_encoder(coords, grid)
+    return feats, plans, out_coords, out_shape

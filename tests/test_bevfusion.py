@@ -200,6 +200,33 @@ def test_transfusion_head_jit():
     assert np.all(np.isfinite(np.asarray(out["scores"])))
 
 
+def test_bevfusion_detector_lidar_only():
+    """Full detector composition, lidar-only config, tiny grid: points ->
+    prepare_lidar_inputs -> encoder -> SECOND/FPN -> head -> decoded boxes."""
+    from mobi_tpu.models.bevfusion import BEVFusionDetector, prepare_lidar_inputs
+
+    rng = np.random.default_rng(7)
+    pts = np.concatenate(
+        [rng.uniform(-4.8, 4.8, (2000, 2)), rng.uniform(-4.9, 2.9, (2000, 1)),
+         rng.uniform(0, 1, (2000, 2))], axis=1,
+    ).astype(np.float32)
+    feats, plans, out_coords, out_shape = prepare_lidar_inputs(
+        pts, voxel_size=(0.15, 0.15, 0.2), pc_range=(-4.8, -4.8, -5, 4.8, 4.8, 3.2),
+        max_voxels=8000,
+    )
+    det = BEVFusionDetector(use_camera=False, num_proposals=16)
+    params = det.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), plans, out_coords, out_shape
+    )
+    preds = det.apply(
+        params, jnp.asarray(feats), plans, out_coords, out_shape
+    )
+    out = det.apply(params, preds, method=det.decode)
+    assert out["bboxes"].shape == (1, 16, 9)
+    assert np.all(np.isfinite(np.asarray(out["bboxes"])))
+    assert np.all(np.isfinite(np.asarray(out["scores"])))
+
+
 def test_lidar_bev_network_end_to_end(sparse_input):
     feats, coords = sparse_input
     plans, out_coords, out_shape = plan_sparse_encoder(coords, SPARSE_SHAPE)
