@@ -1,0 +1,82 @@
+"""Flash-attention kernel numerics (interpret mode on CPU) vs the XLA
+reference, plus the custom-vjp gradient path and the placement-aware backend
+selection."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobi_tpu.ops.attention import dot_product_attention
+from mobi_tpu.ops.flash_attention import (
+    _flash_fwd_impl,
+    _xla_reference,
+    flash_attention,
+)
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 4, 40), (1, 1024, 2, 64),
+                                   (3, 512, 8, 80)])
+def test_flash_kernel_matches_xla(shape):
+    b, n, h, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], shape, jnp.float32)
+    k = jax.random.normal(ks[1], shape, jnp.float32)
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+    out = _flash_fwd_impl(q, k, v, interpret=True)
+    ref = _xla_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_online_softmax_extreme_logits():
+    """Online max/sum renormalization must be stable with large logits."""
+    shape = (1, 256, 2, 40)
+    q = jnp.full(shape, 8.0)
+    k = jax.random.normal(jax.random.PRNGKey(1), shape) * 8.0
+    v = jax.random.normal(jax.random.PRNGKey(2), shape)
+    out = _flash_fwd_impl(q, k, v, interpret=True)
+    ref = _xla_reference(q, k, v)
+    assert np.all(np.isfinite(np.asarray(out)))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5)
+
+
+def test_flash_custom_vjp_bwd_matches_xla_grad():
+    """The custom-vjp backward (XLA recompute, flash_attention.py:113-121)
+    must produce the XLA attention gradients."""
+    from mobi_tpu.ops.flash_attention import _bwd
+
+    shape = (1, 128, 2, 32)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q, k, v = (jax.random.normal(kk, shape) for kk in ks)
+    ct = jax.random.normal(jax.random.PRNGKey(4), shape)
+
+    _, vjp_fn = jax.vjp(_xla_reference, q, k, v)
+    g_ref = vjp_fn(ct)
+    g_bwd = _bwd((q, k, v), ct)
+    for a, b in zip(g_ref, g_bwd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_auto_backend_grad_through_long_seq_on_cpu():
+    """Differentiating the auto-selected attention at >=1024 tokens on CPU
+    (the training path off-TPU) must not touch pallas."""
+    x = jax.random.normal(jax.random.PRNGKey(5), (1, 1024, 128))
+
+    def loss(x):
+        return (dot_product_attention(x, x, x, num_heads=2) ** 2).sum()
+
+    g = jax.jit(jax.grad(loss))(x)
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.abs(g).sum()) > 0
+
+
+def test_auto_backend_runs_on_cpu_for_long_seq():
+    """The r1 bench crash: 4096-token auto-backend attention traced on CPU
+    must lower through the XLA branch, not pallas."""
+    q = jax.random.normal(jax.random.PRNGKey(4), (1, 1024, 2, 64))
+    out = jax.jit(
+        lambda x: dot_product_attention(
+            x.reshape(1, 1024, 128), x.reshape(1, 1024, 128),
+            x.reshape(1, 1024, 128), num_heads=2,
+        )
+    )(q)
+    assert np.all(np.isfinite(np.asarray(out)))
