@@ -207,6 +207,7 @@ class NuScenesTables:
 
         scene_rec = self.index["scene"][sample["scene_token"]]
         log = self.index["log"][scene_rec["log_token"]]
+        sweeps = self.lidar_sweeps(sample)
         return {
             "sample_token": sample["token"],
             "timestamp": sample["timestamp"],
@@ -223,7 +224,39 @@ class NuScenesTables:
             "num_lidar_pts": np.asarray(num_pts, np.int64),
             "location": log["location"],
             "description": scene_rec.get("description", ""),
+            "sweeps": sweeps,
         }
+
+    def lidar_sweeps(self, sample: dict, max_sweeps: int = 10) -> List[dict]:
+        """Previous (non-keyframe) lidar sweeps for multi-sweep aggregation
+        (reference nuscenes_converter.py obtain_sensor2top /
+        LoadPointsFromMultiSweeps): each entry carries the file path, the
+        sweep->keyframe-lidar 4x4 transform, and the time lag in seconds."""
+        sds = self._sample_sd.get(sample["token"], {})
+        if "LIDAR_TOP" not in sds:
+            return []
+        key_sd = sds["LIDAR_TOP"]
+        key_cs = self.index["calibrated_sensor"][key_sd["calibrated_sensor_token"]]
+        key_ego = self.index["ego_pose"][key_sd["ego_pose_token"]]
+        global2key = np.linalg.inv(_pose_mat(key_ego) @ _pose_mat(key_cs))
+        t0 = key_sd["timestamp"]
+
+        sweeps = []
+        token = key_sd.get("prev", "")
+        while token and len(sweeps) < max_sweeps:
+            sd = self.index["sample_data"][token]
+            cs = self.index["calibrated_sensor"][sd["calibrated_sensor_token"]]
+            ego = self.index["ego_pose"][sd["ego_pose_token"]]
+            sweep2key = global2key @ _pose_mat(ego) @ _pose_mat(cs)
+            sweeps.append(
+                {
+                    "data_path": self._file_path(sd),
+                    "sweep2lidar": sweep2key,
+                    "time_lag": (t0 - sd["timestamp"]) * 1e-6,
+                }
+            )
+            token = sd.get("prev", "")
+        return sweeps
 
 
 def load_lidar_points(path: str) -> np.ndarray:

@@ -112,6 +112,55 @@ class CLIPVisionTower(nn.Module):
         return pooled
 
 
+class CLIPTextTower(nn.Module):
+    """CLIP text transformer (HF `CLIPTextModel` semantics, ViT-B/32 text
+    config by default: width 512, 12 layers, 8 heads, vocab 49408, 77 ctx).
+
+    Token + positional embeddings, causally masked pre-LN encoder, final
+    layernorm. Returns the full last_hidden_state [B, N, width]; the
+    reference's ClassEmbedder takes the BOS position
+    (/root/reference/ldm/modules/encoders/modules.py:17-37 last_hidden_state
+    [:, 0]) and the CLIP projection path takes the EOS position.
+    """
+
+    vocab_size: int = 49408
+    max_positions: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: Array) -> Array:
+        b, n = input_ids.shape
+        tok = self.param(
+            "token_embedding", nn.initializers.normal(0.02),
+            (self.vocab_size, self.width), jnp.float32,
+        )
+        pos = self.param(
+            "position_embedding", nn.initializers.normal(0.02),
+            (self.max_positions, self.width), jnp.float32,
+        )
+        x = tok[input_ids].astype(self.dtype) + pos[:n].astype(self.dtype)[None]
+        causal = jnp.tril(jnp.ones((n, n), bool))[None]
+        causal = jnp.broadcast_to(causal, (b, n, n))
+        for i in range(self.layers):
+            h = LayerNorm(dtype=self.dtype, name=f"layer_{i}_ln1")(x)
+            d = h.shape[-1]
+            q = Dense(d, dtype=self.dtype, name=f"layer_{i}_q")(h)
+            k = Dense(d, dtype=self.dtype, name=f"layer_{i}_k")(h)
+            v = Dense(d, dtype=self.dtype, name=f"layer_{i}_v")(h)
+            att = dot_product_attention(
+                q, k, v, num_heads=self.heads, mask=causal, backend="xla"
+            )
+            x = x + Dense(d, dtype=self.dtype, name=f"layer_{i}_out")(att)
+            h = LayerNorm(dtype=self.dtype, name=f"layer_{i}_ln2")(x)
+            h = Dense(d * 4, dtype=self.dtype, name=f"layer_{i}_fc1")(h)
+            h = quick_gelu(h)
+            x = x + Dense(d, dtype=self.dtype, name=f"layer_{i}_fc2")(h)
+        return LayerNorm(dtype=self.dtype, name="final_layernorm")(x)
+
+
 def clip_normalize(images: Array) -> Array:
     """Map [-1, 1]-ranged RGB (NHWC) to CLIP-normalized pixel values."""
     mean = jnp.asarray(CLIP_IMAGE_MEAN, dtype=images.dtype)

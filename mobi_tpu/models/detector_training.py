@@ -1,0 +1,123 @@
+"""BEVFusion detector training: train state + jitted step over the
+TransFusion loss.
+
+Reference counterpart: /root/reference/bevfusion/tools/train.py (mmcv-runner
+assembly) + mmdet3d/models/fusion_models/bevfusion.py:207-310 forward_single
+training branch (returns head losses). Optimization recipe from
+configs/nuscenes/default.yaml: AdamW lr 2e-4 wd 1e-2, grad clip 35,
+cyclic/one-cycle schedule approximated with cosine warmup-decay.
+
+The sparse-conv rulebooks are per-sample host artifacts with data-dependent
+sizes; the step jit-compiles per rulebook shape signature. `pad_rulebooks`
+in mobi_tpu/ops/sparse_conv handles bucketing when stable shapes are needed
+(see its docstring); for the small edited-scene finetunes this retrace cost
+is negligible next to the conv work.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from mobi_tpu.models.bevfusion import BEVFusionDetector
+from mobi_tpu.models.transfusion_loss import (
+    TransFusionLossConfig,
+    transfusion_loss,
+)
+
+Array = jnp.ndarray
+
+
+def make_detector_optimizer(
+    lr: float = 2e-4,
+    weight_decay: float = 0.01,
+    clip_norm: float = 35.0,
+    total_steps: int = 0,
+    warmup_steps: int = 500,
+) -> optax.GradientTransformation:
+    if total_steps > warmup_steps:
+        sched = optax.warmup_cosine_decay_schedule(
+            0.0, lr, warmup_steps, total_steps
+        )
+    else:
+        sched = lr
+    return optax.chain(
+        optax.clip_by_global_norm(clip_norm),
+        optax.adamw(sched, weight_decay=weight_decay),
+    )
+
+
+def detector_loss_fn(
+    detector: BEVFusionDetector,
+    params,
+    batch: Dict,
+    loss_cfg: TransFusionLossConfig,
+) -> Tuple[Array, Dict[str, Array]]:
+    """One-sample loss: forward the detector, apply the TransFusion loss.
+
+    batch keys: voxel_feats, plans, out_coords, out_shape (lidar), plus
+    gt_boxes [1, G, 9] / gt_labels [1, G] / gt_mask [1, G], and the camera
+    inputs when detector.use_camera.
+    """
+    preds = detector.apply(
+        {"params": params},
+        batch["voxel_feats"],
+        batch["plans"],
+        batch["out_coords"],
+        batch["out_shape"],
+        images=batch.get("images"),
+        depth_map=batch.get("depth_map"),
+        cam2lidar=batch.get("cam2lidar"),
+        intrins=batch.get("intrins"),
+    )
+    return transfusion_loss(
+        preds, batch["gt_boxes"], batch["gt_labels"], batch["gt_mask"],
+        loss_cfg,
+    )
+
+
+def make_detector_train_step(
+    detector: BEVFusionDetector,
+    tx: optax.GradientTransformation,
+    loss_cfg: Optional[TransFusionLossConfig] = None,
+) -> Callable:
+    cfg = loss_cfg or TransFusionLossConfig(
+        num_classes=detector.num_classes,
+        num_proposals=detector.num_proposals,
+    )
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, metrics), grads = jax.value_and_grad(
+            lambda p: detector_loss_fn(detector, p, batch, cfg), has_aux=True
+        )(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, metrics
+
+    return step
+
+
+def pad_gt(
+    boxes: np.ndarray, labels: np.ndarray, max_gt: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Pad per-sample GT to a fixed [max_gt] so the jitted loss sees static
+    shapes. Boxes are padded to 9 columns (zero velocity)."""
+    g = min(len(boxes), max_gt)
+    out_b = np.zeros((max_gt, 9), np.float32)
+    out_l = np.zeros((max_gt,), np.int32)
+    out_m = np.zeros((max_gt,), bool)
+    if g:
+        b = boxes[:g]
+        if b.shape[1] < 9:
+            b = np.concatenate(
+                [b, np.zeros((g, 9 - b.shape[1]), np.float32)], 1
+            )
+        out_b[:g] = b[:, :9]
+        out_l[:g] = labels[:g]
+        out_m[:g] = True
+    return out_b, out_l, out_m

@@ -148,3 +148,49 @@ class CondStageModel(nn.Module):
         if "ref_bbox" in self.conditions and "ref_bbox" in cond:
             ret["ref_bbox_token"] = self.bbox_embedder(cond["ref_bbox"])
         return ret
+
+
+class ClassEmbedder(nn.Module):
+    """Class-label conditioning via precomputed CLIP-text CLS embeddings
+    (/root/reference/ldm/modules/encoders/modules.py:17-37: runs "a {class}"
+    prompts through a CLIP text model once at construction, then indexes the
+    BOS/CLS row per label).
+
+    The embedding table is a (frozen) parameter so it rides checkpoints; use
+    `compute_class_text_embeddings` to fill it from a torch CLIP text model
+    (host-side, once) and pass the result as `table_init`.
+    """
+
+    num_classes: int
+    embed_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, labels: Array) -> Array:
+        table = self.param(
+            "text_embeddings", nn.initializers.normal(0.02),
+            (self.num_classes, self.embed_dim), jnp.float32,
+        )
+        return table[labels.astype(jnp.int32)].astype(self.dtype)
+
+
+def compute_class_text_embeddings(classes, version="openai/clip-vit-large-patch14"):
+    """Host-side helper mirroring the reference ClassEmbedder constructor:
+    tokenize 'a {c}' prompts ('empty' stays bare) and return the CLS rows of a
+    torch CLIP text model as a [n_classes, width] numpy array. Gated on
+    transformers being importable with local weights; raises RuntimeError
+    otherwise (zero-egress environments must pass a cached table instead)."""
+    import numpy as np
+
+    try:
+        import torch
+        from transformers import CLIPTextModel, CLIPTokenizer
+    except Exception as e:  # pragma: no cover - env-dependent
+        raise RuntimeError(f"transformers/torch unavailable: {e}")
+    tokenizer = CLIPTokenizer.from_pretrained(version)
+    text_model = CLIPTextModel.from_pretrained(version)
+    texts = ["a " + c if c != "empty" else c for c in classes]
+    inputs = tokenizer(texts, return_tensors="pt", padding=True, truncation=True)
+    with torch.no_grad():
+        hidden = text_model(**inputs).last_hidden_state
+    return np.asarray(hidden[:, 0, :].cpu().numpy(), dtype=np.float32)

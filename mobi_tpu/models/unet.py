@@ -247,6 +247,7 @@ class UNetModel(nn.Module):
     use_camera: bool = True
     use_lidar: bool = True
     use_checkpoint: bool = False
+    add_conv_in_front_of_unet: bool = False
     attn_backend: str = "auto"
     dtype: jnp.dtype = jnp.float32
 
@@ -287,6 +288,23 @@ class UNetModel(nn.Module):
 
         h = x.astype(self.dtype)
         context = context.astype(self.dtype)
+
+        if self.add_conv_in_front_of_unet:
+            # Optional pre-UNet feature stack (openaimodel.py:640-661
+            # add_resbolck: a 3x3 conv to model_channels + one timestep-
+            # conditioned ResBlock). The reference's version is inconsistent
+            # (its My_ResBlock tail is hardcoded to 4 output channels and the
+            # following input conv still expects in_channels, openaimodel.py
+            # :378-390,664) and the flag is off in every shipped config; here
+            # the front stack produces model_channels and the UNet input conv
+            # consumes it, which is the evidently intended behavior.
+            h = Conv2d(
+                self.model_channels, (3, 3), dtype=self.dtype,
+                name="add_resbolck_0_conv",
+            )(h)
+            h = ResBlock(
+                self.model_channels, dtype=self.dtype, name="add_resbolck_1_res"
+            )(h, emb)
 
         hs = []
         h = Conv2d(
@@ -352,3 +370,115 @@ class UNetModel(nn.Module):
             name="out_conv",
         )(h)
         return h.astype(x.dtype)
+
+
+class EncoderUNetModel(nn.Module):
+    """Half-UNet (encoder trunk + middle block) with a pooled classification
+    head — the noisy-latent classifier backbone
+    (openaimodel.py:901-1116 EncoderUNetModel; consumed by
+    ldm/models/diffusion/classifier.py).
+
+    Pool modes:
+      * "adaptive": GN/SiLU -> global mean pool -> zero-init 1x1 conv -> [B,K]
+      * "spatial"/"spatial_v2": per-stage spatial means concatenated -> MLP
+      * "attention": GN/SiLU -> attention pooling with a learned query token
+    """
+
+    in_channels: int = 4
+    model_channels: int = 320
+    out_channels: int = 1000
+    num_res_blocks: int = 2
+    attention_resolutions: Sequence[int] = (4, 2, 1)
+    channel_mult: Sequence[int] = (1, 2, 4, 4)
+    num_heads: int = 8
+    pool: str = "adaptive"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: Array, timesteps: Array) -> Array:
+        t_emb = timestep_embedding(timesteps, self.model_channels)
+        emb = Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_embed_0"
+        )(t_emb.astype(self.dtype))
+        emb = Dense(
+            self.model_channels * 4, dtype=self.dtype, name="time_embed_2"
+        )(swish(emb))
+
+        h = x.astype(self.dtype)
+        pooled = []
+
+        def maybe_pool(h):
+            if self.pool.startswith("spatial"):
+                pooled.append(h.mean(axis=(1, 2)))
+
+        h = Conv2d(
+            self.model_channels, (3, 3), dtype=self.dtype,
+            name="input_blocks_0_conv",
+        )(h)
+        maybe_pool(h)
+
+        ch = self.model_channels
+        ds = 1
+        block_idx = 1
+        for level, mult in enumerate(self.channel_mult):
+            for _ in range(self.num_res_blocks):
+                ch = mult * self.model_channels
+                h = ResBlock(
+                    ch, dtype=self.dtype, name=f"input_blocks_{block_idx}_res"
+                )(h, emb)
+                if ds in self.attention_resolutions:
+                    # encoder trunk uses plain self-attention (no context
+                    # conditioning): a SpatialTransformer with self-attn only
+                    b, hh, ww, c = h.shape
+                    n = GroupNorm(eps=1e-5, dtype=self.dtype,
+                                  name=f"input_blocks_{block_idx}_attn_norm")(h)
+                    tokens = n.reshape(b, hh * ww, c)
+                    att = CrossAttention(
+                        heads=self.num_heads, dim_head=c // self.num_heads,
+                        dtype=self.dtype,
+                        name=f"input_blocks_{block_idx}_attn",
+                    )(tokens)
+                    h = h + att.reshape(b, hh, ww, c)
+                maybe_pool(h)
+                block_idx += 1
+            if level != len(self.channel_mult) - 1:
+                h = UNetDownsample(
+                    ch, dtype=self.dtype, name=f"input_blocks_{block_idx}_down"
+                )(h)
+                maybe_pool(h)
+                block_idx += 1
+                ds *= 2
+
+        h = ResBlock(dtype=self.dtype, name="middle_block_0")(h, emb)
+        h = ResBlock(dtype=self.dtype, name="middle_block_2")(h, emb)
+
+        if self.pool.startswith("spatial"):
+            pooled.append(h.mean(axis=(1, 2)))
+            feats = jnp.concatenate(pooled, axis=-1).astype(jnp.float32)
+            feats = Dense(2048, name="out_0")(feats)
+            feats = (
+                swish(LayerNorm(name="out_norm")(feats))
+                if self.pool == "spatial_v2" else nn.relu(feats)
+            )
+            return Dense(self.out_channels, name="out_2")(feats)
+
+        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="out_norm")(h)
+        h = swish(h)
+        if self.pool == "attention":
+            b, hh, ww, c = h.shape
+            tokens = h.reshape(b, hh * ww, c)
+            query = self.param(
+                "pool_query", nn.initializers.normal(c**-0.5), (1, 1, c)
+            ).astype(h.dtype)
+            att = CrossAttention(
+                heads=self.num_heads, dim_head=c // self.num_heads,
+                dtype=self.dtype, name="attention_pool",
+            )(jnp.broadcast_to(query, (b, 1, c)), tokens)
+            return Dense(self.out_channels, name="attention_pool_proj")(
+                att[:, 0].astype(jnp.float32)
+            )
+        # adaptive: global average pool + zero-init projection
+        h = h.mean(axis=(1, 2))
+        return Dense(
+            self.out_channels, zero_init=True, name="out_proj"
+        )(h.astype(jnp.float32))

@@ -1,0 +1,224 @@
+"""TransFusion training loss + detection pipeline transforms."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobi_tpu.models.transfusion_loss import (
+    TransFusionLossConfig,
+    draw_heatmap_targets,
+    encode_gt_boxes,
+    gaussian_focal_loss,
+    gaussian_radius,
+    hungarian_assign,
+    transfusion_loss,
+)
+
+CFG = TransFusionLossConfig(num_classes=3, num_proposals=8)
+
+
+def _fake_preds(rng, B=1, P=8, C=3, H=16, W=16):
+    ks = jax.random.split(rng, 7)
+    return {
+        "heatmap": jax.random.normal(ks[0], (B, P, C)),
+        "center": jax.random.uniform(ks[1], (B, P, 2), minval=0, maxval=H),
+        "height": jax.random.normal(ks[2], (B, P, 1)),
+        "dim": jax.random.normal(ks[3], (B, P, 3)) * 0.1 + 1.0,
+        "rot": jax.random.normal(ks[4], (B, P, 2)),
+        "vel": jax.random.normal(ks[5], (B, P, 2)) * 0.1,
+        "dense_heatmap": jax.random.normal(ks[6], (B, H, W, C)),
+    }
+
+
+def _gt(G=4):
+    boxes = np.zeros((G, 9), np.float32)
+    boxes[:2] = [
+        [5.0, 3.0, -1.0, 4.0, 2.0, 1.5, 0.3, 1.0, 0.0],
+        [-8.0, -2.0, -0.8, 1.0, 1.0, 1.8, -0.5, 0.0, 0.0],
+    ]
+    labels = np.zeros((G,), np.int32)
+    labels[:2] = [0, 2]
+    mask = np.zeros((G,), bool)
+    mask[:2] = True
+    return jnp.asarray(boxes[None]), jnp.asarray(labels[None]), jnp.asarray(mask[None])
+
+
+def test_hungarian_assign_simple():
+    cost = jnp.asarray(
+        [[0.1, 5.0], [5.0, 0.1], [3.0, 3.0], [9.0, 9.0]], jnp.float32
+    )
+    match = np.asarray(hungarian_assign(cost))
+    # proposals 0 and 1 take gts 0/1; scipy leaves the others unmatched
+    assert match[0] == 0 and match[1] == 1
+    assert (match == -1).sum() == 2
+
+
+def test_gaussian_radius_monotone():
+    small = gaussian_radius(jnp.asarray([2.0, 2.0]), 0.1)
+    big = gaussian_radius(jnp.asarray([10.0, 10.0]), 0.1)
+    assert float(big) > float(small) > 0
+
+
+def test_heatmap_targets_peak_at_center():
+    boxes, labels, mask = _gt()
+    hm = draw_heatmap_targets(boxes[0], labels[0], mask[0], CFG, 180, 180)
+    assert hm.shape == (3, 180, 180)
+    step = CFG.voxel_size[0] * CFG.out_size_factor
+    cx = int((5.0 - CFG.pc_range[0]) / step)
+    cy = int((3.0 - CFG.pc_range[1]) / step)
+    assert float(hm[0, cy, cx]) == pytest.approx(1.0, abs=1e-5)
+    # class 1 has no GT -> empty channel
+    assert float(hm[1].max()) == 0.0
+    # invalid (masked-out) gts contribute nothing outside the two real peaks
+    assert float(hm[2].max()) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_encode_gt_roundtrips_center():
+    boxes, _, _ = _gt()
+    code = encode_gt_boxes(boxes, CFG)
+    step = CFG.voxel_size[0] * CFG.out_size_factor
+    np.testing.assert_allclose(
+        code[0, 0, 0], (5.0 - CFG.pc_range[0]) / step, rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        code[0, 0, 2], -1.0 + 1.5 * 0.5, rtol=1e-5
+    )  # bottom -> gravity z
+    np.testing.assert_allclose(
+        code[0, 0, 6] ** 2 + code[0, 0, 7] ** 2, 1.0, rtol=1e-5
+    )
+
+
+def test_gaussian_focal_loss_perfect_pred_near_zero():
+    target = jnp.zeros((1, 4, 4))
+    target = target.at[0, 2, 2].set(1.0)
+    pred = jnp.clip(target, 1e-4, 1 - 1e-4)
+    assert float(gaussian_focal_loss(pred, target)) < 1e-2
+
+
+def test_transfusion_loss_finite_and_grad():
+    preds = _fake_preds(jax.random.PRNGKey(0), H=180, W=180)
+    boxes, labels, mask = _gt()
+    total, metrics = transfusion_loss(preds, boxes, labels, mask, CFG)
+    assert np.isfinite(float(total))
+    assert int(metrics["num_pos"]) == 2
+
+    def scalar(preds):
+        return transfusion_loss(preds, boxes, labels, mask, CFG)[0]
+
+    grads = jax.grad(scalar)(preds)
+    for k, g in grads.items():
+        assert np.isfinite(np.asarray(g)).all(), k
+    # matched proposals must receive bbox gradient signal
+    assert float(jnp.abs(grads["center"]).sum()) > 0
+
+
+def test_transfusion_loss_no_gt():
+    preds = _fake_preds(jax.random.PRNGKey(1), H=180, W=180)
+    boxes = jnp.zeros((1, 4, 9))
+    labels = jnp.zeros((1, 4), jnp.int32)
+    mask = jnp.zeros((1, 4), bool)
+    total, metrics = transfusion_loss(preds, boxes, labels, mask, CFG)
+    assert np.isfinite(float(total))
+    assert float(metrics["loss_bbox"]) == 0.0
+
+
+def test_pipeline_global_rot_scale_trans_consistency():
+    from mobi_tpu.data.det_pipeline import global_rot_scale_trans
+
+    rng = np.random.default_rng(0)
+    # a point at a box center must stay at the box center
+    boxes = np.array([[4.0, -2.0, 0.0, 2.0, 1.0, 1.0, 0.3, 1.0, 0.5]],
+                     np.float32)
+    points = np.array([[4.0, -2.0, 0.0, 0.5, 0.0]], np.float32)
+    p2, b2 = global_rot_scale_trans(points, boxes, rng)
+    np.testing.assert_allclose(p2[0, :3], b2[0, :3], atol=1e-5)
+
+
+def test_pipeline_flip_and_filters():
+    from mobi_tpu.data.det_pipeline import (
+        object_name_filter,
+        object_range_filter,
+        points_range_filter,
+        random_flip_3d,
+    )
+
+    rng = np.random.default_rng(1)
+    boxes = np.array([[1.0, 2.0, 0.0, 2.0, 1.0, 1.0, 0.5]], np.float32)
+    points = np.array([[1.0, 2.0, 0.0]], np.float32)
+    p2, b2 = random_flip_3d(points, boxes, rng, 1.0, 0.0)  # force h-flip
+    assert p2[0, 1] == -2.0 and b2[0, 1] == -2.0 and b2[0, 6] == -0.5
+
+    pc = [-5.0, -5.0, -5.0, 5.0, 5.0, 5.0]
+    boxes = np.array(
+        [[0.0, 0.0, 0.0, 1, 1, 1, 0], [9.0, 0.0, 0.0, 1, 1, 1, 0]], np.float32
+    )
+    labels = np.array([0, 1])
+    b3, l3 = object_range_filter(boxes, labels, pc)
+    assert len(b3) == 1 and l3[0] == 0
+
+    pts = np.array([[0, 0, 0], [9, 9, 9]], np.float32)
+    assert len(points_range_filter(pts, pc)) == 1
+
+    boxes, labels = object_name_filter(
+        np.zeros((2, 7), np.float32), ["car", "rock"], ["car", "bus"]
+    )
+    assert len(boxes) == 1 and labels[0] == 0
+
+
+def test_gt_database_sampler(tmp_path):
+    import pickle
+
+    from mobi_tpu.data.det_pipeline import GTDatabaseSampler
+
+    # database with one car object at origin
+    obj_pts = np.array([[0.2, 0.1, 0.3, 1.0, 0.0]], np.float32)
+    np.save(tmp_path / "obj.npy", obj_pts)
+    infos = {"car": [{"path": "obj.npy",
+                      "box": [10.0, 10.0, 0.0, 4.0, 2.0, 1.5, 0.0],
+                      "num_points": 1}]}
+    with open(tmp_path / "gt_db_infos.pkl", "wb") as f:
+        pickle.dump(infos, f)
+
+    sampler = GTDatabaseSampler(
+        str(tmp_path / "gt_db_infos.pkl"), sample_groups={"car": 1}
+    )
+    points = np.zeros((5, 5), np.float32)
+    boxes = np.zeros((0, 7), np.float32)
+    labels = np.zeros((0,), np.int64)
+    p2, b2, l2 = sampler(points, boxes, labels, ["car"])
+    assert len(b2) == 1 and l2[0] == 0
+    # pasted object points moved to the sampled box center
+    assert len(p2) == 6
+    np.testing.assert_allclose(p2[-1, :3], [10.2, 10.1, 0.3], atol=1e-5)
+
+    # a colliding scene box blocks the paste
+    boxes = np.array([[10.0, 10.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32)
+    labels = np.array([0])
+    sampler2 = GTDatabaseSampler(
+        str(tmp_path / "gt_db_infos.pkl"), sample_groups={"car": 2}
+    )
+    p3, b3, l3 = sampler2(points, boxes, labels, ["car"])
+    assert len(b3) == 1  # no room
+
+
+def test_multisweep_loading(tmp_path):
+    from mobi_tpu.data.det_pipeline import load_points_multisweep
+
+    key_pts = np.array([[5.0, 0.0, 0.0, 1.0, 9.9]], np.float32)
+    sweep_pts = np.array([[2.0, 0.0, 0.0, 1.0, 9.9]], np.float32)
+    key_pts.tofile(tmp_path / "key.bin")
+    sweep_pts.tofile(tmp_path / "sweep.bin")
+    T = np.eye(4)
+    T[0, 3] = 1.0  # sweep frame shifted 1m
+    rec = {
+        "lidar_path": str(tmp_path / "key.bin"),
+        "sweeps": [
+            {"data_path": str(tmp_path / "sweep.bin"), "sweep2lidar": T,
+             "time_lag": 0.05}
+        ],
+    }
+    pts = load_points_multisweep(rec, sweeps_num=1)
+    assert pts.shape == (2, 5)
+    np.testing.assert_allclose(pts[0, 4], 0.0)  # keyframe lag 0
+    np.testing.assert_allclose(pts[1, 0], 3.0, atol=1e-5)  # transformed
+    np.testing.assert_allclose(pts[1, 4], 0.05, atol=1e-6)
