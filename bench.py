@@ -32,12 +32,28 @@ TARGET_PER_HOUR = 1000.0
 
 
 def build():
+    import os
+    import pickle
+
     from mobi_tpu.models.diffusion import MobiConfig, MobiDiffusion
 
     cfg = MobiConfig(dtype=jnp.bfloat16)
     model = MobiDiffusion(cfg)
+    # Random-init params are identical run to run (fixed PRNGKey), and the
+    # flagship init costs ~45 min of eager CPU compute on a 1-core host —
+    # cache the tree on disk so repeated bench runs skip straight to the
+    # device transfer.
+    cache = os.path.expanduser("~/.cache/mobi_bench_params_v1.pkl")
+    if os.path.exists(cache):
+        with open(cache, "rb") as f:
+            return model, pickle.load(f)
     rng = jax.random.PRNGKey(0)
     params = model.init_params(rng)
+    try:
+        with open(cache, "wb") as f:
+            pickle.dump(jax.device_get(params), f, protocol=4)
+    except Exception:
+        pass
     return model, params
 
 

@@ -199,6 +199,21 @@ class MobiDiffusion:
         minutes for zero benefit; the training/inference jit moves the
         params to the device/mesh afterwards.
         """
+        if self.config.dtype != jnp.float32:
+            # flax init EXECUTES the forward pass; with dtype=bf16 that means
+            # software-emulated bf16 matmuls on the CPU (tens of minutes on
+            # small hosts). Parameter values depend only on shapes, so init a
+            # float32 clone instead — identical params, native CPU speed.
+            import dataclasses as _dc
+
+            clone = MobiDiffusion(
+                _dc.replace(self.config, dtype=jnp.float32)
+            )
+            try:
+                clone.cond_model = self.cond_model.clone(dtype=jnp.float32)
+            except Exception:
+                clone.cond_model = self.cond_model
+            return clone.init_params(rng, on_cpu=on_cpu)
         if on_cpu:
             cpu = jax.devices("cpu")[0]
             with jax.default_device(cpu):
@@ -406,9 +421,13 @@ class MobiDiffusion:
 
     # ------------------------------------------------------------- denoiser
     def apply_model(
-        self, params: Params, x9: Array, t: Array, context: Array
+        self, params: Params, x9: Array, t: Array, context: Array,
+        encoder_cache=None, return_cache: bool = False,
     ) -> Array:
-        return self.unet.apply({"params": params["unet"]}, x9, t, context)
+        return self.unet.apply(
+            {"params": params["unet"]}, x9, t, context,
+            encoder_cache=encoder_cache, return_cache=return_cache,
+        )
 
     # ----------------------------------------------------------------- loss
     def p_losses(
@@ -460,8 +479,12 @@ class MobiDiffusion:
         guidance_scale: float = 5.0,
         sampler: str = "plms",
         eta: float = 0.0,
+        encoder_interval: int = 1,
     ) -> Array:
         """Sample latents given encoded `data` from get_input(encode_cond=True).
+
+        `encoder_interval > 1` (ddim only) turns on encoder propagation —
+        see samplers.ddim_sample; approximate, off by default.
 
         Returns interleaved [B*, h, w, 4] latents.
         """
@@ -488,6 +511,12 @@ class MobiDiffusion:
         def model_fn(x9, t, ctx):
             return self.apply_model(params, x9, t, ctx)
 
+        def cached_model_fn(x9, t, ctx, cache, return_cache):
+            return self.apply_model(
+                params, x9, t, ctx, encoder_cache=cache,
+                return_cache=return_cache,
+            )
+
         if sampler == "plms":
             return S.plms_sample(
                 model_fn, tables, x_T, cond, rest, uncond, guidance_scale
@@ -496,6 +525,8 @@ class MobiDiffusion:
             return S.ddim_sample(
                 model_fn, tables, k_loop, x_T, cond, rest, uncond,
                 guidance_scale,
+                encoder_interval=encoder_interval,
+                cached_model_fn=cached_model_fn,
             )
         elif sampler == "ddpm":
             # full-length ancestral loop (reference ddpm.py:253-282); latents

@@ -66,6 +66,8 @@ def ddim_sample(
     uncond: Optional[Array] = None,
     guidance_scale: float = 1.0,
     temperature: float = 1.0,
+    encoder_interval: int = 1,
+    cached_model_fn: Optional[Callable] = None,
 ) -> Array:
     """DDIM sampling loop.
 
@@ -74,24 +76,22 @@ def ddim_sample(
       cond: [B, n_tokens, D] conditioning tokens.
       rest: [B, h, w, 5] the static conditioning channels.
       uncond: unconditional tokens for CFG.
+      encoder_interval: > 1 enables encoder propagation ("Faster Diffusion",
+        arXiv 2312.09608): the UNet encoder+middle run only every
+        `encoder_interval`-th step; other steps reuse the cached skip
+        activations and pay only for the decoder. Requires
+        `cached_model_fn(x9, t, ctx, cache, return_cache)`; approximate —
+        off (1) by default to keep reference DDIM semantics.
 
     Returns the final denoised latent [B, h, w, 4].
     """
     eta_zero = tables.eta_is_zero
 
-    def step(carry, per_step):
-        x, key = carry
-        t, a_t, a_prev, sqrt_1m_at, sigma = per_step
-        x9 = jnp.concatenate([x, rest], axis=-1)
-        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-        eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+    def draw_noise(x, key):
         if eta_zero:
-            noise = jnp.zeros_like(x)
-        else:
-            key, sub = jax.random.split(key)
-            noise = jax.random.normal(sub, x.shape, dtype=x.dtype) * temperature
-        x, _ = _ddim_update(x, eps, a_t, a_prev, sqrt_1m_at, sigma, noise)
-        return (x, key), None
+            return jnp.zeros_like(x), key
+        key, sub = jax.random.split(key)
+        return jax.random.normal(sub, x.shape, dtype=x.dtype) * temperature, key
 
     per_step = (
         tables.timesteps,
@@ -100,7 +100,72 @@ def ddim_sample(
         tables.sqrt_one_minus_alphas,
         tables.sigmas,
     )
-    (x, _), _ = jax.lax.scan(step, (x_T, rng), per_step)
+
+    if encoder_interval <= 1 or cached_model_fn is None:
+        def step(carry, ps):
+            x, key = carry
+            t, a_t, a_prev, sqrt_1m_at, sigma = ps
+            x9 = jnp.concatenate([x, rest], axis=-1)
+            tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+            eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+            noise, key = draw_noise(x, key)
+            x, _ = _ddim_update(x, eps, a_t, a_prev, sqrt_1m_at, sigma, noise)
+            return (x, key), None
+
+        (x, _), _ = jax.lax.scan(step, (x_T, rng), per_step)
+        return x
+
+    # --- encoder-propagation variant -------------------------------------
+    def batched(x, t):
+        """CFG input assembly shared by both branches."""
+        if uncond is None or guidance_scale == 1.0:
+            return x, jnp.full((x.shape[0],), t, jnp.int32), cond
+        x_in = jnp.concatenate([x, x], axis=0)
+        t_in = jnp.full((x_in.shape[0],), t, jnp.int32)
+        c_in = jnp.concatenate([uncond, cond], axis=0)
+        return x_in, t_in, c_in
+
+    def guided(eps_all):
+        if uncond is None or guidance_scale == 1.0:
+            return eps_all
+        eps_u, eps_c = jnp.split(eps_all, 2, axis=0)
+        return eps_u + guidance_scale * (eps_c - eps_u)
+
+    n = int(tables.timesteps.shape[0])
+    is_key = (jnp.arange(n) % encoder_interval) == 0
+
+    # prologue: step 0 runs full and materializes the cache for the carry
+    t0 = tables.timesteps[0]
+    x9 = jnp.concatenate([x_T, rest], axis=-1)
+    x_in, t_in, c_in = batched(x9, t0)
+    eps_all, cache = cached_model_fn(x_in, t_in, c_in, None, True)
+    noise, key = draw_noise(x_T, rng)
+    x, _ = _ddim_update(
+        x_T, guided(eps_all), tables.alphas[0], tables.alphas_prev[0],
+        tables.sqrt_one_minus_alphas[0], tables.sigmas[0], noise,
+    )
+
+    def step(carry, ps):
+        x, key, cache = carry
+        (t, a_t, a_prev, sqrt_1m_at, sigma), key_step = ps
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        x_in, t_in, c_in = batched(x9, t)
+
+        def full(_):
+            return cached_model_fn(x_in, t_in, c_in, None, True)
+
+        def reuse(_):
+            return cached_model_fn(x_in, t_in, c_in, cache, False), cache
+
+        eps_all, cache_new = jax.lax.cond(key_step, full, reuse, None)
+        noise, key = draw_noise(x, key)
+        x, _ = _ddim_update(
+            x, guided(eps_all), a_t, a_prev, sqrt_1m_at, sigma, noise
+        )
+        return (x, key, cache_new), None
+
+    tail = jax.tree.map(lambda a: a[1:], per_step)
+    (x, _, _), _ = jax.lax.scan(step, (x, key, cache), (tail, is_key[1:]))
     return x
 
 

@@ -256,7 +256,23 @@ class UNetModel(nn.Module):
         return self.use_camera and self.use_lidar
 
     @nn.compact
-    def __call__(self, x: Array, timesteps: Array, context: Array) -> Array:
+    def __call__(
+        self,
+        x: Array,
+        timesteps: Array,
+        context: Array,
+        encoder_cache: Optional[Tuple[Array, ...]] = None,
+        return_cache: bool = False,
+    ):
+        """Forward. With `encoder_cache` (the tuple returned under
+        `return_cache=True`), the input/middle blocks are SKIPPED and the
+        cached skip activations + middle output are reused — the
+        encoder-propagation fast-sampling scheme ("Faster Diffusion",
+        arXiv 2312.09608): encoder features change little between adjacent
+        denoising steps, so non-key steps only pay for the decoder. The
+        decoder still sees the CURRENT timestep embedding and context.
+        Opt-in; key-step cadence is chosen by the sampler.
+        """
         t_emb = timestep_embedding(timesteps, self.model_channels)
         emb = Dense(
             self.model_channels * 4, dtype=self.dtype, name="time_embed_0"
@@ -306,47 +322,52 @@ class UNetModel(nn.Module):
                 self.model_channels, dtype=self.dtype, name="add_resbolck_1_res"
             )(h, emb)
 
-        hs = []
-        h = Conv2d(
-            self.model_channels, (3, 3), dtype=self.dtype, name="input_blocks_0_conv"
-        )(h)
-        hs.append(h)
+        if encoder_cache is None:
+            hs = []
+            h = Conv2d(
+                self.model_channels, (3, 3), dtype=self.dtype,
+                name="input_blocks_0_conv",
+            )(h)
+            hs.append(h)
 
-        ch = self.model_channels
-        ds = 1
-        block_idx = 1
-        input_chans = [ch]
-        for level, mult in enumerate(self.channel_mult):
-            for _ in range(self.num_res_blocks):
-                ch = mult * self.model_channels
-                h = res_block_cls(
-                    ch, dtype=self.dtype, name=f"input_blocks_{block_idx}_res"
-                )(h, emb)
-                if ds in self.attention_resolutions:
-                    h = spatial_transformer(
-                        ch, f"input_blocks_{block_idx}_attn"
-                    )(h, context)
-                hs.append(h)
-                input_chans.append(ch)
-                block_idx += 1
-            if level != len(self.channel_mult) - 1:
-                h = UNetDownsample(
-                    ch, dtype=self.dtype, name=f"input_blocks_{block_idx}_down"
-                )(h)
-                hs.append(h)
-                input_chans.append(ch)
-                block_idx += 1
-                ds *= 2
+            ch = self.model_channels
+            ds = 1
+            block_idx = 1
+            for level, mult in enumerate(self.channel_mult):
+                for _ in range(self.num_res_blocks):
+                    ch = mult * self.model_channels
+                    h = res_block_cls(
+                        ch, dtype=self.dtype,
+                        name=f"input_blocks_{block_idx}_res",
+                    )(h, emb)
+                    if ds in self.attention_resolutions:
+                        h = spatial_transformer(
+                            ch, f"input_blocks_{block_idx}_attn"
+                        )(h, context)
+                    hs.append(h)
+                    block_idx += 1
+                if level != len(self.channel_mult) - 1:
+                    h = UNetDownsample(
+                        ch, dtype=self.dtype,
+                        name=f"input_blocks_{block_idx}_down",
+                    )(h)
+                    hs.append(h)
+                    block_idx += 1
+                    ds *= 2
 
-        h = res_block_cls(dtype=self.dtype, name="middle_block_0")(h, emb)
-        h = spatial_transformer(ch, "middle_block_1")(h, context)
-        h = res_block_cls(dtype=self.dtype, name="middle_block_2")(h, emb)
+            h = res_block_cls(dtype=self.dtype, name="middle_block_0")(h, emb)
+            h = spatial_transformer(ch, "middle_block_1")(h, context)
+            h = res_block_cls(dtype=self.dtype, name="middle_block_2")(h, emb)
+        else:
+            hs = list(encoder_cache[:-1])
+            h = encoder_cache[-1]
+            ds = 2 ** (len(self.channel_mult) - 1)
+        cache = tuple(hs) + (h,) if return_cache else None
 
         block_idx = 0
         for level, mult in reversed(list(enumerate(self.channel_mult))):
             for i in range(self.num_res_blocks + 1):
                 skip = hs.pop()
-                input_chans.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
                 ch = self.model_channels * mult
                 h = res_block_cls(
@@ -369,7 +390,10 @@ class UNetModel(nn.Module):
             self.out_channels, (3, 3), zero_init=True, dtype=self.dtype,
             name="out_conv",
         )(h)
-        return h.astype(x.dtype)
+        out = h.astype(x.dtype)
+        if return_cache:
+            return out, cache
+        return out
 
 
 class EncoderUNetModel(nn.Module):

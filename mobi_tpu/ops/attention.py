@@ -17,7 +17,13 @@ import jax.numpy as jnp
 
 Array = jnp.ndarray
 
-_FLASH_MIN_SEQ = 1024  # below this XLA's fused attention is already fine
+# Minimum self-attention length for the Pallas flash kernel ("auto"
+# backend); below it XLA's fused attention is used. 1024 keeps flash on
+# both the 4096-token (d=40) and 1024-token (d=80) UNet levels — measured
+# best on the v5e (see PROFILE.md). Env-tunable for whole-model A/B.
+import os as _os
+
+_FLASH_MIN_SEQ = int(_os.environ.get("MOBI_FLASH_MIN_SEQ", "1024"))
 
 
 def split_heads(x: Array, num_heads: int) -> Array:

@@ -31,19 +31,29 @@ Params = Any
 def create_mesh(
     dp: Optional[int] = None,
     fsdp: int = 1,
+    tp: int = 1,
     devices: Optional[Sequence[jax.Device]] = None,
 ) -> Mesh:
+    """dp x fsdp [x tp] mesh. The tp axis is only materialized when > 1 so
+    existing two-axis programs keep their compiled signatures."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        dp = n // fsdp
-    assert dp * fsdp == n, f"dp({dp}) * fsdp({fsdp}) != devices({n})"
+        dp = n // (fsdp * tp)
+    assert dp * fsdp * tp == n, (
+        f"dp({dp}) * fsdp({fsdp}) * tp({tp}) != devices({n})"
+    )
+    if tp > 1:
+        dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
+        return Mesh(dev_array, axis_names=("dp", "fsdp", "tp"))
     dev_array = np.asarray(devices).reshape(dp, fsdp)
     return Mesh(dev_array, axis_names=("dp", "fsdp"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (interleaved batch) axis over all devices."""
+    """Shard the leading (interleaved batch) axis over dp x fsdp; with a tp
+    axis present the batch is replicated across it (tensor parallelism
+    splits heads/channels, not examples)."""
     return NamedSharding(mesh, P(("dp", "fsdp")))
 
 
@@ -51,24 +61,67 @@ def batch_spec() -> P:
     return P(("dp", "fsdp"))
 
 
-def param_spec(shape: Sequence[int], fsdp_size: int) -> P:
-    """ZeRO-style: shard the largest divisible dim over "fsdp"."""
-    if fsdp_size <= 1 or not shape:
+# Parameter-name fragments whose kernels split cleanly along heads/channels
+# for tensor parallelism: QKV projections and MLP in-projections shard their
+# OUTPUT dim (heads/hidden split, all-reduce deferred), output projections
+# and MLP out-projections shard their INPUT dim (partial sums -> psum by
+# XLA). Everything else replicates over tp.
+_TP_COL_PARALLEL = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj",
+                    "fc1", "proj", "ff_in")
+_TP_ROW_PARALLEL = ("to_out", "out_proj", "fc2", "ff_out", "out")
+
+
+def param_spec(
+    shape: Sequence[int],
+    fsdp_size: int,
+    tp_size: int = 1,
+    name: str = "",
+) -> P:
+    """ZeRO-style fsdp on the largest divisible dim, plus optional
+    Megatron-style tp on attention/MLP projection kernels (name-matched)."""
+    if not shape:
         return P()
-    dims = sorted(range(len(shape)), key=lambda i: -shape[i])
-    for i in dims:
-        if shape[i] % fsdp_size == 0 and shape[i] >= fsdp_size:
-            spec = [None] * len(shape)
-            spec[i] = "fsdp"
-            return P(*spec)
-    return P()
+    spec = [None] * len(shape)
+    if tp_size > 1 and len(shape) >= 2 and name:
+        leaf = name.rsplit("/", 2)[-2] if "/" in name else name
+        # row-parallel names are checked first: several of them ("out_proj")
+        # would otherwise suffix-match a col-parallel fragment ("proj")
+        if any(leaf.endswith(s) for s in _TP_ROW_PARALLEL) and (
+            shape[-2] % tp_size == 0
+        ):
+            spec[-2] = "tp"
+        elif any(leaf.endswith(s) for s in _TP_COL_PARALLEL) and (
+            shape[-1] % tp_size == 0
+        ):
+            spec[-1] = "tp"
+    if fsdp_size > 1:
+        dims = sorted(range(len(shape)), key=lambda i: -shape[i])
+        for i in dims:
+            if spec[i] is None and shape[i] % fsdp_size == 0 and (
+                shape[i] >= fsdp_size
+            ):
+                spec[i] = "fsdp"
+                break
+    while spec and spec[-1] is None:
+        spec.pop()
+    return P(*spec)
 
 
 def param_shardings(mesh: Mesh, params: Params) -> Params:
     fsdp_size = mesh.shape["fsdp"]
-    return jax.tree_util.tree_map(
-        lambda p: NamedSharding(mesh, param_spec(p.shape, fsdp_size)), params
-    )
+    tp_size = mesh.shape.get("tp", 1)
+    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    out = [
+        NamedSharding(
+            mesh,
+            param_spec(
+                p.shape, fsdp_size, tp_size,
+                "/".join(str(getattr(k, "key", k)) for k in path),
+            ),
+        )
+        for path, p in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, out)
 
 
 def shard_params(mesh: Mesh, params: Params) -> Params:

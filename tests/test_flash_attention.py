@@ -80,3 +80,50 @@ def test_auto_backend_runs_on_cpu_for_long_seq():
         )
     )(q)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_transposed_av_kernel_matches_plain():
+    """The [D, TQ] transposed-accumulator variant must be numerically
+    equivalent to the plain kernel (same online softmax, different AV
+    matmul orientation)."""
+    import functools
+
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from mobi_tpu.ops.flash_attention import (
+        _flash_kernel,
+        _flash_kernel_tav,
+        _pick_tile,
+    )
+
+    b, n, h, d = 1, 256, 2, 40
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(ks[0], (b * h, n, d), jnp.float32)
+    k = jax.random.normal(ks[1], (b * h, n, d), jnp.float32)
+    v = jax.random.normal(ks[2], (b * h, n, d), jnp.float32)
+
+    tile_q = _pick_tile(n, 512)
+    tile_k = _pick_tile(n, 4096)
+    outs = []
+    for kern in (_flash_kernel, _flash_kernel_tav):
+        fn = functools.partial(kern, tile_k=tile_k, scale=d**-0.5)
+        out = pl.pallas_call(
+            fn,
+            grid=(b * h, n // tile_q),
+            in_specs=[
+                pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            interpret=True,
+        )(q, k, v)
+        outs.append(np.asarray(out))
+    np.testing.assert_allclose(outs[0], outs[1], atol=2e-5, rtol=2e-5)
