@@ -111,13 +111,19 @@ def main():
     jax.block_until_ready(params)
     log(f"transfer done in {time.perf_counter() - t_x:.1f}s")
 
+    import os
+
+    # default 1 = the faithful reference DDIM; >1 measures the opt-in
+    # encoder-propagation mode (PROFILE.md) — never the headline number
+    enc_interval = int(os.environ.get("MOBI_BENCH_ENCODER_INTERVAL", "1"))
+
     @jax.jit
     def inpaint(params, batch, rng):
         k1, k2 = jax.random.split(rng)
         data = model.get_input(params, batch, k1, encode_cond=True)
         latents = model.sample(
             params, data, k2, num_steps=STEPS, guidance_scale=GUIDANCE,
-            sampler="ddim",
+            sampler="ddim", encoder_interval=enc_interval,
         )
         return model.decode_sample(
             params, latents, data.get("z_lidar_full"), data.get("lidar_geom")

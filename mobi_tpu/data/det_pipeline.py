@@ -356,3 +356,192 @@ def train_pipeline(
     points = points_range_filter(points, pc_range)
     points = point_shuffle(points, rng)
     return {"points": points, "gt_bboxes_3d": boxes, "gt_labels_3d": labels}
+
+
+def grid_mask(
+    images: np.ndarray,
+    rng: np.random.Generator,
+    prob: float = 0.7,
+    ratio: float = 0.5,
+    max_rotate: int = 1,
+) -> np.ndarray:
+    """Stripe-grid occlusion over the camera images (GridMask,
+    transforms_3d.py:164-251): a random-period grid of zeroed bands in both
+    axes, the same mask applied to every view. images: [V, H, W, C]."""
+    if rng.uniform() > prob:
+        return images
+    v, h, w = images.shape[:3]
+    hh, ww = int(1.5 * h), int(1.5 * w)
+    d = int(rng.integers(2, min(h, w)))
+    band = min(max(int(d * ratio + 0.5), 1), d - 1)
+    mask = np.ones((hh, ww), np.float32)
+    st_h, st_w = int(rng.integers(d)), int(rng.integers(d))
+    for i in range(hh // d):
+        s = d * i + st_h
+        mask[s:min(s + band, hh), :] = 0
+    for i in range(ww // d):
+        s = d * i + st_w
+        mask[:, s:min(s + band, ww)] = 0
+    if max_rotate > 1:
+        import cv2
+
+        r = float(rng.integers(max_rotate))
+        M = cv2.getRotationMatrix2D((ww / 2, hh / 2), r, 1.0)
+        mask = cv2.warpAffine(mask, M, (ww, hh), borderValue=1.0)
+    mask = mask[(hh - h) // 2:(hh - h) // 2 + h,
+                (ww - w) // 2:(ww - w) // 2 + w]
+    return images * mask[None, :, :, None]
+
+
+def object_noise(
+    points: np.ndarray,
+    boxes: np.ndarray,
+    rng: np.random.Generator,
+    translation_std: Sequence[float] = (0.25, 0.25, 0.25),
+    rot_range: Sequence[float] = (-0.15707963, 0.15707963),
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-object pose jitter: each GT box (and its interior points) gets an
+    independent rotation about its center + translation, rejected if it
+    would collide with another box (ObjectNoise, transforms_3d.py:714-768 /
+    numba noise_per_object_v3_, single-try variant)."""
+    from mobi_tpu.native import points_in_boxes
+
+    if not len(boxes):
+        return points, boxes
+    points = points.copy()
+    boxes = boxes.copy()
+    inside = points_in_boxes(points[:, :3].astype(np.float32),
+                             boxes[:, :7].astype(np.float32))
+    for j in range(len(boxes)):
+        trans = rng.normal(scale=translation_std, size=3)
+        ang = rng.uniform(*rot_range)
+        cand = boxes[j].copy()
+        cand[:3] += trans
+        cand[6] += ang
+        others = np.delete(boxes, j, axis=0)
+        if len(others) and _bev_collision(cand[None, :7], others[:, :7]).any():
+            continue
+        sel = inside == j
+        if sel.any():
+            c, s = np.cos(ang), np.sin(ang)
+            rel = points[sel, :2] - boxes[j, :2]
+            points[sel, 0] = rel[:, 0] * c - rel[:, 1] * s + boxes[j, 0]
+            points[sel, 1] = rel[:, 0] * s + rel[:, 1] * c + boxes[j, 1]
+            points[sel, :3] += trans
+        boxes[j] = cand
+    return points, boxes
+
+
+def frame_dropout(
+    points: np.ndarray, rng: np.random.Generator, prob: float = 0.5,
+    time_dim: int = 4,
+) -> np.ndarray:
+    """Randomly drop whole (non-keyframe) sweeps by their time-lag value
+    (FrameDropout, transforms_3d.py:770-787)."""
+    keep_offsets = [
+        off for off in np.unique(points[:, time_dim])
+        if off == 0 or rng.uniform() > prob
+    ]
+    return points[np.isin(points[:, time_dim], keep_offsets)]
+
+
+def point_sample(
+    points: np.ndarray, num_points: int, rng: np.random.Generator,
+) -> np.ndarray:
+    """Sample/pad to a fixed point count (PointSample,
+    transforms_3d.py:796-... random choice, with replacement only when the
+    cloud is smaller than the target)."""
+    replace = len(points) < num_points
+    choice = rng.choice(len(points), num_points, replace=replace)
+    return points[choice]
+
+
+def background_points_filter(
+    points: np.ndarray,
+    boxes: np.ndarray,
+    bbox_enlarge_range: float = 0.4,
+) -> np.ndarray:
+    """Drop background points that hug the GT boxes (BackgroundPointsFilter,
+    transforms_3d.py:994-1050): points inside the enlarged boxes but outside
+    the original ones are removed."""
+    from mobi_tpu.native import points_in_boxes
+
+    if not len(boxes):
+        return points
+    p3 = points[:, :3].astype(np.float32)
+    b7 = boxes[:, :7].astype(np.float32)
+    enlarged = b7.copy()
+    enlarged[:, 3:6] += 2 * bbox_enlarge_range
+    in_orig = points_in_boxes(p3, b7) >= 0
+    in_big = points_in_boxes(p3, enlarged) >= 0
+    return points[in_orig | ~in_big]
+
+
+def image_aug_3d(
+    images: np.ndarray,
+    rng: Optional[np.random.Generator],
+    final_dim: Tuple[int, int] = (256, 704),
+    resize_lim: Tuple[float, float] = (0.38, 0.55),
+    bot_pct_lim: Tuple[float, float] = (0.0, 0.0),
+    rot_lim: Tuple[float, float] = (-5.4, 5.4),
+    rand_flip: bool = True,
+    is_train: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-view resize/crop/flip/rotate with the 4x4 post-homography
+    `img_aug_matrix` the LSS view transform consumes (ImageAug3D,
+    transforms_3d.py:31-128). images: [V, H, W, C] float; returns
+    (aug_images [V, fH, fW, C], img_aug_matrix [V, 4, 4])."""
+    import cv2
+
+    v = images.shape[0]
+    H, W = images.shape[1:3]
+    fH, fW = final_dim
+    out_imgs = np.empty((v, fH, fW, images.shape[3]), images.dtype)
+    out_mats = np.empty((v, 4, 4), np.float32)
+    for i in range(v):
+        if is_train and rng is not None:
+            resize = rng.uniform(*resize_lim)
+            flip = rand_flip and bool(rng.integers(2))
+            rotate = rng.uniform(*rot_lim)
+            newW, newH = int(W * resize), int(H * resize)
+            crop_h = int((1 - rng.uniform(*bot_pct_lim)) * newH) - fH
+            crop_w = int(rng.uniform(0, max(0, newW - fW)))
+        else:
+            resize = float(np.mean(resize_lim))
+            flip, rotate = False, 0.0
+            newW, newH = int(W * resize), int(H * resize)
+            crop_h = int((1 - np.mean(bot_pct_lim)) * newH) - fH
+            crop_w = int(max(0, newW - fW) / 2)
+        img = cv2.resize(images[i], (newW, newH))
+        canvas = np.zeros((fH, fW, images.shape[3]), images.dtype)
+        y0, x0 = max(crop_h, 0), max(crop_w, 0)
+        patch = img[y0:crop_h + fH, x0:crop_w + fW]
+        canvas[:patch.shape[0], :patch.shape[1]] = patch
+        if flip:
+            canvas = canvas[:, ::-1]
+        if rotate:
+            M = cv2.getRotationMatrix2D((fW / 2, fH / 2), -rotate, 1.0)
+            canvas = cv2.warpAffine(canvas, M, (fW, fH))
+            if canvas.ndim == 2:
+                canvas = canvas[..., None]
+        out_imgs[i] = canvas
+
+        rot = np.eye(2) * resize
+        tran = -np.asarray([crop_w, crop_h], np.float64)
+        if flip:
+            A = np.asarray([[-1.0, 0.0], [0.0, 1.0]])
+            rot = A @ rot
+            tran = A @ tran + np.asarray([fW, 0.0])
+        theta = rotate / 180.0 * np.pi
+        A = np.asarray(
+            [[np.cos(theta), np.sin(theta)], [-np.sin(theta), np.cos(theta)]]
+        )
+        b = np.asarray([fW, fH]) / 2.0
+        b = A @ (-b) + b
+        rot = A @ rot
+        tran = A @ tran + b
+        mat = np.eye(4, dtype=np.float32)
+        mat[:2, :2] = rot
+        mat[:2, 3] = tran
+        out_mats[i] = mat
+    return out_imgs, out_mats

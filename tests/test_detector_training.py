@@ -222,3 +222,86 @@ def test_multisweep_loading(tmp_path):
     np.testing.assert_allclose(pts[0, 4], 0.0)  # keyframe lag 0
     np.testing.assert_allclose(pts[1, 0], 3.0, atol=1e-5)  # transformed
     np.testing.assert_allclose(pts[1, 4], 0.05, atol=1e-6)
+
+
+def test_grid_mask_zeroes_bands():
+    from mobi_tpu.data.det_pipeline import grid_mask
+
+    rng = np.random.default_rng(0)
+    imgs = np.ones((2, 32, 48, 3), np.float32)
+    out = grid_mask(imgs, rng, prob=1.0, max_rotate=1)
+    assert out.shape == imgs.shape
+    assert out.min() == 0.0 and out.max() == 1.0
+    # same mask across views
+    np.testing.assert_allclose(out[0, ..., 0], out[1, ..., 0])
+
+
+def test_object_noise_moves_box_and_points():
+    from mobi_tpu.data.det_pipeline import object_noise
+
+    rng = np.random.default_rng(3)
+    boxes = np.array([[0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+    points = np.array([[0.1, 0.1, 0.5, 1.0, 0.0]], np.float32)
+    p2, b2 = object_noise(points, boxes, rng)
+    # box moved; its interior point moved with it (same relative offset up
+    # to the rotation)
+    assert not np.allclose(b2[0, :3], boxes[0, :3])
+    rel_orig = np.linalg.norm(points[0, :2] - boxes[0, :2])
+    rel_new = np.linalg.norm(p2[0, :2] - b2[0, :2])
+    np.testing.assert_allclose(rel_new, rel_orig, atol=1e-5)
+
+
+def test_frame_dropout_keeps_keyframe():
+    from mobi_tpu.data.det_pipeline import frame_dropout
+
+    rng = np.random.default_rng(0)
+    pts = np.array(
+        [[0, 0, 0, 0, 0.0], [1, 0, 0, 0, 0.05], [2, 0, 0, 0, 0.1]],
+        np.float32,
+    )
+    out = frame_dropout(pts, rng, prob=1.0)  # drop every sweep
+    np.testing.assert_allclose(out[:, 4], 0.0)
+    assert len(out) == 1
+
+
+def test_point_sample_fixed_count():
+    from mobi_tpu.data.det_pipeline import point_sample
+
+    rng = np.random.default_rng(0)
+    pts = np.random.default_rng(1).normal(size=(10, 5)).astype(np.float32)
+    assert point_sample(pts, 4, rng).shape == (4, 5)
+    assert point_sample(pts, 20, rng).shape == (20, 5)  # pad via replacement
+
+
+def test_background_points_filter():
+    from mobi_tpu.data.det_pipeline import background_points_filter
+
+    boxes = np.array([[0.0, 0.0, 0.0, 2.0, 2.0, 2.0, 0.0]], np.float32)
+    pts = np.array(
+        [
+            [0.0, 0.0, 1.0],     # inside the box -> kept
+            [1.15, 0.0, 1.0],    # in the enlarged shell -> dropped
+            [5.0, 5.0, 1.0],     # far background -> kept
+        ],
+        np.float32,
+    )
+    out = background_points_filter(pts, boxes, bbox_enlarge_range=0.4)
+    assert len(out) == 2
+    assert not any(np.allclose(r, pts[1]) for r in out)
+
+
+def test_image_aug_3d_shapes_and_matrix():
+    from mobi_tpu.data.det_pipeline import image_aug_3d
+
+    imgs = np.random.default_rng(0).normal(
+        size=(2, 90, 160, 3)
+    ).astype(np.float32)
+    out, mats = image_aug_3d(
+        imgs, None, final_dim=(32, 64), resize_lim=(0.45, 0.45),
+        is_train=False,
+    )
+    assert out.shape == (2, 32, 64, 3)
+    assert mats.shape == (2, 4, 4)
+    # eval mode: pure resize+crop -> diagonal scale, no rotation
+    np.testing.assert_allclose(mats[0, 0, 0], 0.45, atol=1e-6)
+    np.testing.assert_allclose(mats[0, 0, 1], 0.0, atol=1e-6)
