@@ -15,7 +15,22 @@ inpaints/hour/v5e-chip.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
+
+try:
+    import jax  # noqa: F401 - probe the interpreter
+except ModuleNotFoundError:  # pragma: no cover
+    # Bare `python` on this machine (/usr/local/bin/python) has no
+    # numpy/jax; re-exec under the project venv so `python bench.py` works
+    # from any caller.
+    venv = "/opt/venv/bin/python"
+    # NB: compare prefixes, not realpaths — the venv python symlinks to the
+    # same base interpreter
+    if os.path.exists(venv) and not sys.prefix.startswith("/opt/venv"):
+        os.execv(venv, [venv, os.path.abspath(__file__)] + sys.argv[1:])
+    raise
 
 import jax
 import jax.numpy as jnp
