@@ -21,19 +21,14 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from eval_tool.camera.fid_score import list_images  # noqa: E402
 
 
-def load_batch(paths, size=224):
-    import cv2
+def load_batch(paths):
+    """OpenAI `clip.load` preprocess — shorter-side resize + center crop
+    (reference clip_score.py:52-54), NOT a square resize."""
     from PIL import Image
 
-    from mobi_tpu.models.clip import CLIP_IMAGE_MEAN, CLIP_IMAGE_STD
+    from mobi_tpu.eval.clip_embed import clip_preprocess_image
 
-    out = []
-    for p in paths:
-        img = np.asarray(Image.open(p).convert("RGB")).astype(np.float32) / 255.0
-        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_CUBIC)
-        img = (img - np.asarray(CLIP_IMAGE_MEAN)) / np.asarray(CLIP_IMAGE_STD)
-        out.append(img.astype(np.float32))
-    return np.stack(out)
+    return np.stack([clip_preprocess_image(Image.open(p)) for p in paths])
 
 
 def main():

@@ -1,12 +1,22 @@
-"""FID between two image folders (reference eval_tool/camera/fid_score.py).
+"""Camera "FID" between two image folders — faithful to the reference
+(eval_tool/camera/fid_score.py + its vendored inception.py).
 
   python eval_tool/camera/fid_score.py --path_target DIR --path_pred DIR \
-      [--weights inception_v3.pth] [--batch-size 32]
+      [--weights clip_vit_b32.pth] [--batch-size 64]
 
-Features: InceptionV3 pool3 (2048-d, mobi_tpu.eval.inception) with weights
-imported from a torchvision inception_v3 state dict. Like the reference
-(fid_score.py:67-80), images pass through CLIP-style preprocessing
-(resize 224 -> center pattern), then are resized to 299 for Inception.
+IMPORTANT parity note: despite the name, the reference's camera FID does NOT
+run InceptionV3. Its vendored `inception.py` rewires `InceptionV3.forward`
+to `self.clip_model.encode_image(x)` (inception.py:143-145; the Inception
+blocks and the 299-resize/normalize steps are commented out at 147-162), and
+every image is loaded through the OpenAI `clip.load("ViT-B/32")` preprocess
+(fid_score.py:67-80). The published numbers are therefore a CLIP-FID over
+unnormalized 512-d ViT-B/32 `encode_image` features. This script reproduces
+exactly that: CLIP preprocess -> CLIP ViT-B/32 image tower -> visual
+projection (no L2 norm) -> Frechet distance over (mu, sigma).
+
+`--backbone inception` additionally offers a classical pytorch-fid
+InceptionV3 pool3 FID (the behavior the reference's dead code *intended*),
+for users who want numbers comparable to the wider literature.
 """
 from __future__ import annotations
 
@@ -29,7 +39,16 @@ def list_images(path):
     )
 
 
-def load_batch(paths, size=299):
+def load_batch_clip(paths):
+    """OpenAI CLIP preprocessing (reference fid_score.py:67-80)."""
+    from PIL import Image
+
+    from mobi_tpu.eval.clip_embed import clip_preprocess_image
+
+    return np.stack([clip_preprocess_image(Image.open(p)) for p in paths])
+
+
+def load_batch_inception(paths, size=299):
     import cv2
     from PIL import Image
 
@@ -41,7 +60,26 @@ def load_batch(paths, size=299):
     return np.stack(imgs)
 
 
-def compute_features(files, params, batch_size=32):
+def compute_clip_features(files, params, proj, batch_size=64):
+    """Unnormalized `encode_image` features [N, 512] — the reference's
+    inception.py:143 output (no L2 normalization before the Gaussian fit)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mobi_tpu.eval.clip_embed import ClipImageEmbedder
+
+    net = ClipImageEmbedder()
+    apply = jax.jit(
+        lambda p, x: net.apply({"params": p}, x) @ jnp.asarray(proj)
+    )
+    feats = []
+    for i in range(0, len(files), batch_size):
+        batch = load_batch_clip(files[i : i + batch_size])
+        feats.append(np.asarray(apply(params, jnp.asarray(batch))))
+    return np.concatenate(feats)
+
+
+def compute_inception_features(files, params, batch_size=32):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +89,7 @@ def compute_features(files, params, batch_size=32):
     apply = jax.jit(lambda p, x: net.apply({"params": p}, x))
     feats = []
     for i in range(0, len(files), batch_size):
-        batch = load_batch(files[i : i + batch_size])
+        batch = load_batch_inception(files[i : i + batch_size])
         feats.append(np.asarray(apply(params, jnp.asarray(batch))))
     return np.concatenate(feats)
 
@@ -60,24 +98,52 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--path_target", required=True)
     p.add_argument("--path_pred", required=True)
-    p.add_argument("--weights", default=os.environ.get("INCEPTION_WEIGHTS"),
-                   help="torchvision inception_v3 state dict (.pth)")
-    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--backbone", choices=("clip", "inception"), default="clip",
+                   help="'clip' reproduces the reference exactly (its "
+                        "'InceptionV3' is rewired to CLIP encode_image); "
+                        "'inception' is a classical pool3 FID")
+    p.add_argument("--weights", default=None,
+                   help="clip: HF CLIP ViT-B/32 state dict (.pth; or set "
+                        "CLIP_B32_WEIGHTS); inception: torchvision "
+                        "inception_v3 state dict (or INCEPTION_WEIGHTS)")
+    p.add_argument("--batch-size", type=int, default=64)
     args = p.parse_args()
-
-    if not args.weights or not os.path.exists(args.weights):
-        sys.exit(
-            "FID requires InceptionV3 weights: pass --weights (torchvision "
-            "inception_v3 .pth) or set INCEPTION_WEIGHTS."
-        )
 
     from mobi_tpu.checkpoint import load_torch_checkpoint
     from mobi_tpu.eval.frechet import frechet_from_features
-    from mobi_tpu.eval.inception import import_inception_weights
 
-    params = import_inception_weights(load_torch_checkpoint(args.weights))
-    f1 = compute_features(list_images(args.path_target), params, args.batch_size)
-    f2 = compute_features(list_images(args.path_pred), params, args.batch_size)
+    if args.backbone == "clip":
+        weights = args.weights or os.environ.get("CLIP_B32_WEIGHTS")
+        if not weights or not os.path.exists(weights):
+            sys.exit(
+                "camera FID requires CLIP ViT-B/32 weights: pass --weights "
+                "(HF CLIPModel state dict) or set CLIP_B32_WEIGHTS."
+            )
+        from mobi_tpu.eval.clip_embed import import_clip_b32
+
+        params, proj = import_clip_b32(load_torch_checkpoint(weights))
+        f1 = compute_clip_features(
+            list_images(args.path_target), params, proj, args.batch_size
+        )
+        f2 = compute_clip_features(
+            list_images(args.path_pred), params, proj, args.batch_size
+        )
+    else:
+        weights = args.weights or os.environ.get("INCEPTION_WEIGHTS")
+        if not weights or not os.path.exists(weights):
+            sys.exit(
+                "inception FID requires --weights (torchvision inception_v3 "
+                ".pth) or INCEPTION_WEIGHTS."
+            )
+        from mobi_tpu.eval.inception import import_inception_weights
+
+        params = import_inception_weights(load_torch_checkpoint(weights))
+        f1 = compute_inception_features(
+            list_images(args.path_target), params, args.batch_size
+        )
+        f2 = compute_inception_features(
+            list_images(args.path_pred), params, args.batch_size
+        )
     fid = frechet_from_features(f1, f2)
     print(f"FID: {fid:.4f}")
 

@@ -57,11 +57,15 @@ def load_points_multisweep(
             [key, np.zeros((len(key), 5 - key.shape[1]), np.float32)], 1
         )
     key[:, 4] = 0.0
-    clouds = [_remove_close(key) if remove_close else key]
+    # The keyframe cloud is kept UNFILTERED — the reference applies
+    # _remove_close only to padded copies and previous sweeps
+    # (loading.py:184-193, 218-219).
+    clouds = [key]
 
     sweeps = rec.get("sweeps", [])
     if not sweeps and pad_empty_sweeps:
-        clouds = clouds * (1 + sweeps_num)
+        pad = _remove_close(key) if remove_close else key
+        clouds = clouds + [pad] * sweeps_num
     else:
         if len(sweeps) <= sweeps_num:
             chosen = list(range(len(sweeps)))
@@ -347,6 +351,13 @@ def train_pipeline(
     flip -> range filters -> shuffle)."""
     points = load_points_multisweep(rec, sweeps_num=sweeps_num, rng=rng)
     boxes = np.asarray(rec["gt_bboxes_3d"], np.float32)
+    # train with 9-DOF boxes: append per-annotation lidar-frame velocity so
+    # the vel regression head sees real targets (reference
+    # nuscenes_dataset.py:352-356, with_velocity=True; nan -> 0)
+    vel = rec.get("gt_velocity")
+    if vel is not None and len(boxes) and boxes.shape[1] == 7:
+        vel = np.nan_to_num(np.asarray(vel, np.float32).reshape(-1, 2))
+        boxes = np.concatenate([boxes, vel], 1)
     boxes, labels = object_name_filter(boxes, rec["gt_names"], classes)
     if sampler is not None:
         points, boxes, labels = sampler(points, boxes, labels, classes)
@@ -514,9 +525,13 @@ def image_aug_3d(
             crop_w = int(max(0, newW - fW) / 2)
         img = cv2.resize(images[i], (newW, newH))
         canvas = np.zeros((fH, fW, images.shape[3]), images.dtype)
+        # PIL crop semantics: negative crop offsets pad with black, so the
+        # patch lands at output row/col -crop when crop < 0 — keep the pixels
+        # consistent with the recorded img_aug_matrix translation.
         y0, x0 = max(crop_h, 0), max(crop_w, 0)
+        oy, ox = -min(crop_h, 0), -min(crop_w, 0)
         patch = img[y0:crop_h + fH, x0:crop_w + fW]
-        canvas[:patch.shape[0], :patch.shape[1]] = patch
+        canvas[oy:oy + patch.shape[0], ox:ox + patch.shape[1]] = patch
         if flip:
             canvas = canvas[:, ::-1]
         if rotate:

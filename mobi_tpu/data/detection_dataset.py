@@ -16,9 +16,12 @@ detector:
   }
 
 `edited_samples_path` swaps edited sensor files in by stem (devkit
-nuscenes.py:127-149 patch); multi-sweep aggregation
-(LoadPointsFromMultiSweeps) is not implemented — keyframe clouds only, which
-is what the MObI edited-scene evaluation consumes.
+nuscenes.py:127-149 patch). `sweeps_num > 0` aggregates that many previous
+(non-keyframe) lidar sweeps into the keyframe frame with a 5th time-lag
+channel via `det_pipeline.load_points_multisweep` — the reference detector
+eval consumes 10-sweep clouds (LoadPointsFromMultiSweeps,
+loading.py:84-238; the keyframe itself is excluded from the sweep list and
+kept unfiltered).
 """
 from __future__ import annotations
 
@@ -37,12 +40,14 @@ class DetectionSceneDataset:
         edited_samples_path: Optional[str] = None,
         load_images: bool = True,
         max_points: Optional[int] = None,
+        sweeps_num: int = 0,
     ):
         self.tables = NuScenesTables(
             dataroot, version, edited_samples_path=edited_samples_path
         )
         self.load_images = load_images
         self.max_points = max_points
+        self.sweeps_num = sweeps_num
         self._samples = list(self.tables.samples_of_split())
 
     def __len__(self) -> int:
@@ -50,7 +55,14 @@ class DetectionSceneDataset:
 
     def __getitem__(self, i: int) -> Dict[str, Any]:
         rec = self.tables.sample_record(self._samples[i])
-        points = load_lidar_points(rec["lidar_path"]).astype(np.float32)
+        if self.sweeps_num > 0:
+            from mobi_tpu.data.det_pipeline import load_points_multisweep
+
+            points = load_points_multisweep(
+                rec, sweeps_num=self.sweeps_num
+            ).astype(np.float32)
+        else:
+            points = load_lidar_points(rec["lidar_path"]).astype(np.float32)
         if self.max_points is not None:
             # fixed-shape clouds for jitted detectors: random subsample or
             # zero-pad with an out-of-range sentinel
@@ -70,9 +82,15 @@ class DetectionSceneDataset:
             "sample_token": rec["sample_token"],
             "points": points,
             "lidar2image": rec["lidar2image_transforms"].astype(np.float32),
+            "camera2lidar": np.linalg.inv(
+                rec["lidar2camera_transforms"]
+            ).astype(np.float32)
+            if len(rec["lidar2camera_transforms"])
+            else np.zeros((0, 4, 4), np.float32),
             "camera_intrinsics": rec["camera_intrinsics"].astype(np.float32),
             "cam_types": rec["cam_types"],
             "gt_bboxes_3d": rec["gt_bboxes_3d"].astype(np.float32),
+            "gt_velocity": rec["gt_velocity"].astype(np.float32),
             "gt_names": list(rec["gt_names"]),
             "ann_tokens": list(rec["ann_tokens"]),
         }

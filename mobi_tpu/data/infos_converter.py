@@ -75,20 +75,7 @@ def _box_velocity(
 ) -> np.ndarray:
     """Instance velocity from neighboring annotations (devkit
     nuscenes.box_velocity): (pos_next - pos_prev) / dt, nan if unavailable."""
-    idx = tables.index["sample_annotation"]
-    has_prev = bool(ann.get("prev"))
-    has_next = bool(ann.get("next"))
-    if not has_prev and not has_next:
-        return np.array([np.nan, np.nan, np.nan])
-    first = idx[ann["prev"]] if has_prev else ann
-    last = idx[ann["next"]] if has_next else ann
-    pos_f = np.asarray(first["translation"])
-    pos_l = np.asarray(last["translation"])
-    t_f = 1e-6 * tables.index["sample"][first["sample_token"]]["timestamp"]
-    t_l = 1e-6 * tables.index["sample"][last["sample_token"]]["timestamp"]
-    if t_l - t_f > 2 * max_time_diff or t_l == t_f:
-        return np.array([np.nan, np.nan, np.nan])
-    return (pos_l - pos_f) / (t_l - t_f)
+    return tables.box_velocity(ann["token"], max_time_diff=max_time_diff)
 
 
 def create_nuscenes_infos(

@@ -157,6 +157,29 @@ class NuScenesTables:
                 yield sample
                 token = sample["next"]
 
+    def box_velocity(
+        self, ann_token: str, max_time_diff: float = 1.5
+    ) -> np.ndarray:
+        """Global-frame instance velocity from neighboring annotations
+        (devkit nuscenes.py:403-449): centered difference over prev/next
+        when both exist (allowing 2x the time window), one-sided otherwise;
+        nan when unestimable."""
+        ann = self.index["sample_annotation"][ann_token]
+        has_prev = bool(ann.get("prev"))
+        has_next = bool(ann.get("next"))
+        if not has_prev and not has_next:
+            return np.array([np.nan, np.nan, np.nan])
+        first = self.index["sample_annotation"][ann["prev"]] if has_prev else ann
+        last = self.index["sample_annotation"][ann["next"]] if has_next else ann
+        pos_diff = np.asarray(last["translation"]) - np.asarray(first["translation"])
+        t_f = 1e-6 * self.index["sample"][first["sample_token"]]["timestamp"]
+        t_l = 1e-6 * self.index["sample"][last["sample_token"]]["timestamp"]
+        if has_prev and has_next:
+            max_time_diff *= 2
+        if t_l - t_f > max_time_diff or t_l == t_f:
+            return np.array([np.nan, np.nan, np.nan])
+        return pos_diff / (t_l - t_f)
+
     def sample_record(self, sample: dict) -> Dict[str, Any]:
         """Everything the preprocessing needs for one keyframe."""
         sds = self._sample_sd[sample["token"]]
@@ -186,7 +209,7 @@ class NuScenesTables:
             l2i.append(K @ lidar2cam)
             intrinsics.append(K)
 
-        boxes7d, corners, names, tokens, num_pts = [], [], [], [], []
+        boxes7d, corners, names, tokens, num_pts, vels = [], [], [], [], [], []
         for ann in self._sample_anns.get(sample["token"], []):
             name = CLASS_MAP.get(self.category_name(ann))
             if name is None:
@@ -204,6 +227,11 @@ class NuScenesTables:
             names.append(name)
             tokens.append(ann["instance_token"])
             num_pts.append(ann.get("num_lidar_pts", 0))
+            # global velocity rotated into the lidar frame, nan preserved
+            # (reference nuscenes_converter.py:259-273)
+            vel_g = self.box_velocity(ann["token"])
+            vel_l = global2lidar[:3, :3] @ np.array([vel_g[0], vel_g[1], 0.0])
+            vels.append(vel_l[:2])
 
         scene_rec = self.index["scene"][sample["scene_token"]]
         log = self.index["log"][scene_rec["log_token"]]
@@ -214,10 +242,12 @@ class NuScenesTables:
             "lidar_path": self._file_path(lidar_sd),
             "image_paths": image_paths,
             "cam_types": cam_types,
+            "lidar2global": lidar2global,
             "lidar2image_transforms": np.stack(l2i) if l2i else np.zeros((0, 4, 4)),
             "lidar2camera_transforms": np.stack(l2c) if l2c else np.zeros((0, 4, 4)),
             "camera_intrinsics": np.stack(intrinsics) if intrinsics else np.zeros((0, 4, 4)),
             "gt_bboxes_3d": np.asarray(boxes7d).reshape(-1, 7),
+            "gt_velocity": np.asarray(vels).reshape(-1, 2),
             "gt_bboxes_3d_corners": np.asarray(corners).reshape(-1, 8, 3),
             "gt_names": names,
             "ann_tokens": tokens,

@@ -317,6 +317,7 @@ def build_synthetic_nuscenes_raw(
     logs, scenes_t, samples_t, sds, egos, anns, insts = [], [], [], [], [], [], []
     visibility = [{"token": "4", "level": "v80-100", "description": ""}]
     ego_i = sd_i = ann_i = inst_i = 0
+    last_ann_of_inst: dict = {}  # instance_token -> index into anns
 
     for s in range(num_scenes):
         logs.append(
@@ -368,6 +369,7 @@ def build_synthetic_nuscenes_raw(
                 boxes.append((center, size, cls))
                 ann_tok = tok("ann", ann_i); ann_i += 1
                 inst_tok = tok("inst", inst_i + o + s * 10)
+                prev_idx = last_ann_of_inst.get(inst_tok)
                 anns.append(
                     {
                         "token": ann_tok,
@@ -378,8 +380,13 @@ def build_synthetic_nuscenes_raw(
                         "rotation": [1, 0, 0, 0],
                         "num_lidar_pts": 500,
                         "visibility_token": "4",
+                        "prev": anns[prev_idx]["token"] if prev_idx is not None else "",
+                        "next": "",
                     }
                 )
+                if prev_idx is not None:
+                    anns[prev_idx]["next"] = ann_tok
+                last_ann_of_inst[inst_tok] = len(anns) - 1
                 if not any(x["token"] == inst_tok for x in insts):
                     insts.append(
                         {
@@ -409,6 +416,39 @@ def build_synthetic_nuscenes_raw(
             )
             lidar_file = f"samples/LIDAR_TOP_{st}.pcd.bin"
             arr.tofile(os.path.join(root, lidar_file))
+            # two previous non-keyframe sweeps (~50ms apart, same pose) so
+            # multi-sweep loaders have real sweep chains to aggregate
+            sweep_toks = []
+            for k in range(2):
+                sw_ts = ts - 50_000 * (k + 1)
+                n_sw = 300
+                sw_pts = np.concatenate(
+                    [
+                        rng.uniform(-40, 40, (n_sw, 3)).astype(np.float32),
+                        rng.uniform(0, 255, (n_sw, 1)).astype(np.float32),
+                        np.zeros((n_sw, 1), np.float32),
+                    ],
+                    1,
+                )
+                sw_file = f"sweeps/LIDAR_TOP_{st}_{k}.pcd.bin"
+                os.makedirs(os.path.join(root, "sweeps"), exist_ok=True)
+                sw_pts.tofile(os.path.join(root, sw_file))
+                sw_tok = tok("sd", sd_i); sd_i += 1
+                sds.append(
+                    {
+                        "token": sw_tok,
+                        "sample_token": st,
+                        "calibrated_sensor_token": tok("cs", 0),
+                        "ego_pose_token": ego_tok,
+                        "filename": sw_file,
+                        "is_key_frame": False,
+                        "fileformat": "pcd",
+                        "timestamp": sw_ts,
+                        "prev": "",
+                        "next": "",
+                    }
+                )
+                sweep_toks.append(sw_tok)
             sd_tok = tok("sd", sd_i); sd_i += 1
             sds.append(
                 {
@@ -420,8 +460,13 @@ def build_synthetic_nuscenes_raw(
                     "is_key_frame": True,
                     "fileformat": "pcd",
                     "timestamp": ts,
+                    "prev": sweep_toks[0],
+                    "next": "",
                 }
             )
+            # chain: keyframe.prev -> sweep0, sweep0.prev -> sweep1
+            for a, b in zip(sweep_toks[:-1], sweep_toks[1:]):
+                next(s for s in sds if s["token"] == a)["prev"] = b
             for ci in range(6):
                 img = rng.integers(40, 90, (img_h, img_w, 3), dtype=np.uint8)
                 img_file = f"samples/{CAM_TYPES[ci]}_{st}.jpg"

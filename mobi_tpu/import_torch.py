@@ -351,8 +351,12 @@ def import_cond_stage(sd: Dict[str, np.ndarray], num_clip_layers: int = 24) -> P
                 _set(blk, [n, "bias"], sd[f"{rsrc}.{n}.bias"])
             mapper[f"resblock_{i}"] = blk
             i += 1
-        out["mapper"] = mapper
-        out["final_ln"] = {"scale": sd["final_ln.weight"], "bias": sd["final_ln.bias"]}
+        if mapper:
+            out["mapper"] = mapper
+        if "final_ln.weight" in sd:  # absent for vision-tower-only imports
+            out["final_ln"] = {
+                "scale": sd["final_ln.weight"], "bias": sd["final_ln.bias"]
+            }
 
     if "bbox_embedder.bbox_proj.weight" in sd:
         be: Params = {}

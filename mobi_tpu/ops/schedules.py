@@ -65,9 +65,14 @@ def make_ddim_timesteps(
         raise NotImplementedError(
             f'unknown ddim discretization method "{ddim_discr_method}"'
         )
-    # The +1 offset can push the last index to num_ddpm_timesteps when
+    # DELIBERATE DEVIATION from the reference for non-divisor step counts:
+    # the +1 offset can push the last index to num_ddpm_timesteps when
     # num_ddim_timesteps does not divide num_ddpm_timesteps (e.g. 3 into
-    # 1000 -> [1, 334, 667, 1000]); clamp so the table lookup stays in range.
+    # 1000 -> [1, 334, 667, 1000]), where the reference would index its
+    # schedule buffers out of range (util.py:57, alphacums[1000] raises).
+    # We clamp the last step to num_ddpm_timesteps - 1 so any step count
+    # works; for divisor counts (the reference's only runnable configs,
+    # incl. the published 50/200-step settings) the grids are identical.
     return np.minimum(ddim_timesteps + 1, num_ddpm_timesteps - 1)
 
 

@@ -61,14 +61,22 @@ def batch_spec() -> P:
     return P(("dp", "fsdp"))
 
 
-# Parameter-name fragments whose kernels split cleanly along heads/channels
+# Exact module leaf names whose kernels split cleanly along heads/channels
 # for tensor parallelism: QKV projections and MLP in-projections shard their
 # OUTPUT dim (heads/hidden split, all-reduce deferred), output projections
 # and MLP out-projections shard their INPUT dim (partial sums -> psum by
-# XLA). Everything else replicates over tp.
-_TP_COL_PARALLEL = ("to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj",
-                    "fc1", "proj", "ff_in")
-_TP_ROW_PARALLEL = ("to_out", "out_proj", "fc2", "ff_out", "out")
+# XLA). Everything else replicates over tp. Exact set membership — suffix
+# fragments previously tp-sharded replicate-by-Megatron-semantics layers
+# (emb_proj/bbox_proj/c_proj/...), which GSPMD keeps correct but pays
+# avoidable collectives for. "proj" is the GEGLU ff in-projection
+# (unet.py:71), "out" the FeedForward out-projection (unet.py:74).
+_TP_COL_PARALLEL = frozenset(
+    {"to_q", "to_k", "to_v", "q_proj", "k_proj", "v_proj", "fc1", "c_fc",
+     "proj"}
+)
+_TP_ROW_PARALLEL = frozenset(
+    {"to_out", "out_proj", "fc2", "c_proj", "mlp_c_proj", "out"}
+)
 
 
 def param_spec(
@@ -83,16 +91,17 @@ def param_spec(
         return P()
     spec = [None] * len(shape)
     if tp_size > 1 and len(shape) >= 2 and name:
-        leaf = name.rsplit("/", 2)[-2] if "/" in name else name
-        # row-parallel names are checked first: several of them ("out_proj")
-        # would otherwise suffix-match a col-parallel fragment ("proj")
-        if any(leaf.endswith(s) for s in _TP_ROW_PARALLEL) and (
-            shape[-2] % tp_size == 0
-        ):
+        # nearest named ancestor module: flax wraps the layers-module Dense
+        # in an auto-named child ("to_q/Dense_0/kernel"), so scan path
+        # components right-to-left for an exact set hit
+        leaf = next(
+            (p for p in reversed(name.split("/"))
+             if p in _TP_ROW_PARALLEL or p in _TP_COL_PARALLEL),
+            None,
+        )
+        if leaf in _TP_ROW_PARALLEL and shape[-2] % tp_size == 0:
             spec[-2] = "tp"
-        elif any(leaf.endswith(s) for s in _TP_COL_PARALLEL) and (
-            shape[-1] % tp_size == 0
-        ):
+        elif leaf in _TP_COL_PARALLEL and shape[-1] % tp_size == 0:
             spec[-1] = "tp"
     if fsdp_size > 1:
         dims = sorted(range(len(shape)), key=lambda i: -shape[i])
@@ -128,12 +137,37 @@ def shard_params(mesh: Mesh, params: Params) -> Params:
     return jax.device_put(params, param_shardings(mesh, params))
 
 
-def shard_batch(mesh: Mesh, batch: Any) -> Any:
+def shard_batch(mesh: Mesh, batch: Any, interleaved: bool = False) -> Any:
+    """Shard every batch-like leaf's leading axis over dp x fsdp (replicating
+    anything that doesn't divide; tp always replicates the batch).
+
+    `interleaved=False` (default) is for per-modality trees whose leading
+    axis counts (camera, lidar) PAIRS — sharding camera and lidar leaves
+    identically keeps whole pairs per shard by construction.
+
+    `interleaved=True` declares the leading axis camera/lidar-interleaved
+    (2 x pairs, the axis `MobiDiffusion.interleave` produces): such a leaf
+    must divide 2 * dp * fsdp so each shard holds whole pairs — an
+    odd-per-device split would make the cross-modal reshape
+    (unet.py:110-111) span shards, which XLA keeps correct but pays a
+    collective per transformer block for. Raises instead of silently
+    sharding."""
+    n_shards = mesh.shape["dp"] * mesh.shape["fsdp"]
     sharding = batch_sharding(mesh)
     replicated = NamedSharding(mesh, P())
+
     def put(x):
-        # shard the leading axis when it divides evenly, else replicate
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % mesh.size == 0:
+        if not (hasattr(x, "shape") and x.ndim >= 1):
+            return jax.device_put(x, replicated)
+        b = x.shape[0]
+        if interleaved and b % n_shards == 0 and b % (2 * n_shards) != 0:
+            raise ValueError(
+                f"interleaved batch axis {b} divides dp*fsdp={n_shards} but "
+                f"not 2*dp*fsdp={2 * n_shards}: a (camera, lidar) pair would "
+                "span shards. Use a batch of whole pairs per shard."
+            )
+        if b % ((2 if interleaved else 1) * n_shards) == 0:
             return jax.device_put(x, sharding)
         return jax.device_put(x, replicated)
+
     return jax.tree_util.tree_map(put, batch)

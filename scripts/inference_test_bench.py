@@ -15,9 +15,14 @@ decode both modalities, then composite on host:
     predicted range crop to 3D and testing against the target box, paste
     depth/intensity into the original range view, save range_pred/range_orig
     npys and the edited point cloud (reference :567-652).
-    NOTE (intent fix): predicted intensity is converted back to the original
-    0..255 units before pasting — the reference pastes normalized units into
-    a raw-unit canvas (nuscenes.py:451 vs inference_test_bench.py:607-611).
+    Intensity units: the DEFAULT is reference-faithful — the predicted
+    intensity crop is pasted in normalized [-1, 1] units into the raw
+    0..255-unit canvas (reference inference_test_bench.py:607-611 pastes
+    ddpm.py:1541's normalized sample_int into nuscenes.py:421's raw
+    range_int_orig), because the published I-LPIPS/FRD numbers were produced
+    that way. Pass --fixed-intensity-paste to instead convert the crop back
+    to 0..255 before pasting (unit-consistent, but not comparable to the
+    published table).
   * per-batch lidar MSE / median-error aggregation -> metrics.csv (:654-669).
 """
 from __future__ import annotations
@@ -49,6 +54,12 @@ def parse_args(argv=None):
     p.add_argument("--save_samples", action="store_true")
     p.add_argument("--save_visualisations", action="store_true")
     p.add_argument("--copy-paste", dest="copy_paste", action="store_true")
+    p.add_argument(
+        "--fixed-intensity-paste", dest="fixed_intensity_paste",
+        action="store_true",
+        help="convert predicted intensity to raw 0..255 units before "
+             "paste-back (default: reference-faithful normalized-unit paste)",
+    )
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("overrides", nargs=argparse.REMAINDER)
     return p.parse_args(argv)
@@ -290,8 +301,9 @@ def composite_lidar(pred, batch, i, lidar_path, sample_path, seg, opt, mcfg,
         )
     if mcfg.range_int_norm:
         int_crop = inverse_intensity_normalization(int_crop)
-    # back to raw 0..255 intensity units of the original canvas
-    int_crop = (int_crop + 1) / 2 * 255.0
+    if opt.fixed_intensity_paste:
+        # opt-in unit fix: raw 0..255 intensity units of the original canvas
+        int_crop = (int_crop + 1) / 2 * 255.0
 
     geom = rp.RangeCropGeom(
         crop_left=int(lid["range_shift_left"][i]),

@@ -305,3 +305,114 @@ def test_image_aug_3d_shapes_and_matrix():
     # eval mode: pure resize+crop -> diagonal scale, no rotation
     np.testing.assert_allclose(mats[0, 0, 0], 0.45, atol=1e-6)
     np.testing.assert_allclose(mats[0, 0, 1], 0.0, atol=1e-6)
+
+
+def test_multisweep_keyframe_unfiltered(tmp_path):
+    """The keyframe cloud keeps near-ego points; _remove_close applies only
+    to previous sweeps (reference loading.py:184-193, 218-219)."""
+    from mobi_tpu.data.det_pipeline import load_points_multisweep
+
+    key_pts = np.array(
+        [[0.5, 0.0, 0.0, 1.0, 0.0], [5.0, 0.0, 0.0, 1.0, 0.0]], np.float32
+    )
+    sweep_pts = np.array(
+        [[0.5, 0.0, 0.0, 1.0, 0.0], [6.0, 0.0, 0.0, 1.0, 0.0]], np.float32
+    )
+    key_pts.tofile(tmp_path / "key.bin")
+    sweep_pts.tofile(tmp_path / "sweep.bin")
+    rec = {
+        "lidar_path": str(tmp_path / "key.bin"),
+        "sweeps": [
+            {"data_path": str(tmp_path / "sweep.bin"),
+             "sweep2lidar": np.eye(4), "time_lag": 0.05}
+        ],
+    }
+    pts = load_points_multisweep(rec, sweeps_num=1)
+    # 2 keyframe points (near-ego KEPT) + 1 sweep point (near-ego dropped)
+    assert pts.shape == (3, 5)
+    key_rows = pts[pts[:, 4] == 0.0]
+    assert len(key_rows) == 2 and np.any(np.abs(key_rows[:, 0]) < 1.0)
+    # padded empty-sweep copies DO get filtered
+    rec2 = {"lidar_path": str(tmp_path / "key.bin"), "sweeps": []}
+    pts2 = load_points_multisweep(rec2, sweeps_num=2)
+    assert len(pts2) == 2 + 2 * 1  # full keyframe + 2 filtered copies
+
+
+def test_image_aug_3d_negative_crop_matches_matrix(tmp_path):
+    """When the resized image is shorter than the final height (negative
+    crop_h), the pixels must sit where img_aug_matrix says they do (PIL
+    pads with black at the top)."""
+    from mobi_tpu.data.det_pipeline import image_aug_3d
+
+    imgs = np.ones((1, 90, 160, 3), np.float32)
+    out, mats = image_aug_3d(
+        imgs, None, final_dim=(32, 64), resize_lim=(0.3, 0.3),
+        is_train=False,
+    )
+    # newH = 27, crop_h = 27 - 32 = -5 -> translation +5 in the matrix
+    ty = mats[0, 1, 3]
+    assert ty == pytest.approx(5.0)
+    # rows [0, ty) are black padding; content starts exactly at row ty
+    assert np.all(out[0, :5] == 0.0)
+    assert np.all(out[0, 5:27 + 5].max(axis=(1, 2)) > 0.0)
+
+
+def test_train_pipeline_emits_velocity_targets(tmp_path):
+    """train_pipeline appends lidar-frame gt velocities (nan -> 0) as box
+    columns 7:9 (reference nuscenes_dataset.py:352-356)."""
+    from mobi_tpu.data.det_pipeline import train_pipeline
+
+    pts = np.zeros((64, 5), np.float32)
+    pts[:, 0] = np.linspace(1.5, 50.0, 64)
+    pts.tofile(tmp_path / "key.bin")
+    rec = {
+        "lidar_path": str(tmp_path / "key.bin"),
+        "sweeps": [],
+        "gt_bboxes_3d": np.array(
+            [[10.0, 0.0, 0.0, 4.0, 2.0, 1.5, 0.0],
+             [20.0, 5.0, 0.0, 4.0, 2.0, 1.5, 0.0]], np.float32
+        ),
+        "gt_velocity": np.array(
+            [[3.0, -1.0], [np.nan, np.nan]], np.float32
+        ),
+        "gt_names": ["car", "car"],
+    }
+    rng = np.random.default_rng(0)
+    out = train_pipeline(
+        rec, classes=["car"], rng=rng, sweeps_num=0,
+    )
+    boxes = out["gt_bboxes_3d"]
+    assert boxes.shape[1] == 9
+    # velocities transform with the scene augmentation like BEV vectors do:
+    # finite for the first box, exactly zero for the nan-filled one
+    vel_norms = np.linalg.norm(boxes[:, 7:9], axis=1)
+    assert np.all(np.isfinite(boxes))
+    if len(boxes) == 2:  # both survived the range filter
+        assert vel_norms.max() > 0.0 and vel_norms.min() == 0.0
+
+
+def test_detection_dataset_multisweep(tmp_path):
+    """sweeps_num>0 wires load_points_multisweep into the eval loader:
+    aggregated clouds are [N, 5] with a time-lag 5th channel (0 for the
+    keyframe, >0 for previous sweeps) and the keyframe excluded from the
+    sweep list (reference loading.py:84-238)."""
+    from mobi_tpu.data.detection_dataset import DetectionSceneDataset
+    from mobi_tpu.data.synthetic import build_synthetic_nuscenes_raw
+
+    root = str(tmp_path / "nusc")
+    build_synthetic_nuscenes_raw(root, num_scenes=1, samples_per_scene=2)
+
+    key_ds = DetectionSceneDataset(root, load_images=False)
+    ms_ds = DetectionSceneDataset(root, load_images=False, sweeps_num=2)
+    ex_key = key_ds[0]
+    ex_ms = ms_ds[0]
+    assert ex_key["points"].shape[1] == 4  # keyframe-only path unchanged
+    assert ex_ms["points"].shape[1] == 5
+    lags = ex_ms["points"][:, 4]
+    # keyframe points (lag 0) plus two sweeps at ~50ms and ~100ms
+    assert (lags == 0).sum() == len(ex_key["points"])
+    sweep_lags = sorted(set(np.round(lags[lags > 0], 3)))
+    assert sweep_lags == [0.05, 0.1]
+    # each synthetic sweep holds 300 points, near-ego ones filtered
+    assert ((lags > 0).sum()) <= 600
+    assert (lags > 0).sum() > 500

@@ -90,3 +90,40 @@ def test_infos_respects_split_names(raw_root, tmp_path):
         assert len(pickle.load(f)["infos"]) == 0
     with open(paths["val"], "rb") as f:
         assert len(pickle.load(f)["infos"]) == 2
+
+
+def test_box_velocity_devkit_semantics(raw_root):
+    """box_velocity matches the devkit's centered finite difference
+    (nuscenes.py:403-449) on the synthetic prev/next annotation chains, and
+    sample_record emits the lidar-frame rotation of it."""
+    tables = NuScenesTables(raw_root, "v1.0-mini")
+    anns = tables.tables["sample_annotation"]
+    # an annotation with both neighbors missing -> nan
+    lonely = [a for a in anns if not a.get("prev") and not a.get("next")]
+    chained = [a for a in anns if a.get("prev") or a.get("next")]
+    assert chained, "synthetic tables should chain annotations"
+    for a in chained:
+        vel = tables.box_velocity(a["token"])
+        assert np.all(np.isfinite(vel))
+        first = tables.index["sample_annotation"][a["prev"]] if a.get("prev") else a
+        last = tables.index["sample_annotation"][a["next"]] if a.get("next") else a
+        dt = 1e-6 * (
+            tables.index["sample"][last["sample_token"]]["timestamp"]
+            - tables.index["sample"][first["sample_token"]]["timestamp"]
+        )
+        want = (np.asarray(last["translation"]) - np.asarray(first["translation"])) / dt
+        np.testing.assert_allclose(vel, want, rtol=1e-6)
+    for a in lonely:
+        assert np.all(np.isnan(tables.box_velocity(a["token"])))
+
+    sample = tables.index["sample"][anns[0]["sample_token"]]
+    rec = tables.sample_record(sample)
+    n = len(rec["gt_bboxes_3d"])
+    assert rec["gt_velocity"].shape == (n, 2)
+    # synthetic ego pose is identity, so lidar-frame velocity == global xy
+    for tok, v in zip(rec["ann_tokens"], rec["gt_velocity"]):
+        ann = next(a for a in anns if a["instance_token"] == tok
+                   and a["sample_token"] == sample["token"])
+        want = tables.box_velocity(ann["token"])[:2]
+        if np.all(np.isfinite(want)):
+            np.testing.assert_allclose(v, want, rtol=1e-5)

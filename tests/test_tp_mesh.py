@@ -76,3 +76,36 @@ def test_tp_sharded_train_step(cpu_devices):
     shardings = param_shardings(mesh, state.params)
     specs = [s.spec for s in jax.tree.leaves(shardings)]
     assert any("tp" in str(s) for s in specs), "no tp-sharded parameter found"
+
+
+def test_param_spec_exact_names_only():
+    """Suffix fragments must not tp-shard replicate-by-Megatron layers:
+    emb_proj/bbox_proj (time-embedding / fourier projections) replicate,
+    while the CLIP out-projections row-shard (ADVICE r1)."""
+    assert param_spec((64, 128), 1, 2, "unet/res/emb_proj/kernel") == P()
+    assert param_spec((64, 128), 1, 2, "cond/bbox_embedder/bbox_proj/kernel") == P()
+    assert param_spec((128, 64), 1, 2, "xf/block/c_proj/kernel") == P("tp")
+    assert param_spec((128, 64), 1, 2, "xf/block/mlp_c_proj/kernel") == P("tp")
+    assert param_spec((64, 128), 1, 2, "xf/block/c_fc/kernel") == P(None, "tp")
+    # fused qkv is left replicated (a contiguous tp split would cross the
+    # q|k|v concatenation boundary)
+    assert param_spec((64, 192), 1, 2, "xf/block/c_qkv/kernel") == P()
+
+
+def test_shard_batch_interleaved_pair_guard(cpu_devices):
+    """An interleaved batch axis that divides dp*fsdp but not 2*dp*fsdp
+    would split (camera, lidar) pairs across shards: must raise."""
+    mesh = create_mesh(dp=4, fsdp=2, devices=cpu_devices)  # 8 shards
+    bad = {"x": np.zeros((8, 4), np.float32)}
+    with pytest.raises(ValueError, match="pair"):
+        shard_batch(mesh, bad, interleaved=True)
+    ok = shard_batch(mesh, {"x": np.zeros((16, 4), np.float32)},
+                     interleaved=True)
+    assert ok["x"].sharding.spec == P(("dp", "fsdp"))
+    # default (pair-axis) trees shard at dp*fsdp divisibility as before
+    pairs = shard_batch(mesh, {"x": np.zeros((8, 4), np.float32)})
+    assert pairs["x"].sharding.spec == P(("dp", "fsdp"))
+    # non-divisible leaves replicate rather than raise
+    rep = shard_batch(mesh, {"x": np.zeros((3, 4), np.float32)},
+                      interleaved=True)
+    assert rep["x"].sharding.spec == P()
