@@ -18,9 +18,10 @@ planned HOST-side once per point cloud (`plan_sparse_encoder`), the device
 program is gather + batched GEMM + segment-sum. Coordinates are (x, y, z)
 with sparse_shape (X, Y, Z) — the reference's [1024, 1024, 41].
 
-The TransFusion detection head and the camera branch (Swin-T + LSS) are
-staged for a later round; this module produces the BEV feature map the head
-consumes.
+The TransFusion detection head lives in this module (`TransFusionHead`) and
+the camera branch in `mobi_tpu/models/swin.py` (Swin-T + GeneralizedLSSFPN)
+plus `DepthLSSTransform` below; `BEVFusionDetector` composes the full
+camera+lidar model.
 """
 from __future__ import annotations
 
@@ -354,7 +355,9 @@ class DepthLSSTransformTPU(nn.Module):
             int(round((b[1] - b[0]) / b[2]))
             for b in (self.xbound, self.ybound, self.zbound)
         ]
-        vox = jnp.floor((geom - lo) / dx).astype(jnp.int32)
+        # reference quantization truncates toward zero, not floor
+        # (base.py:135 `((geom - (bx - dx/2)) / dx).long()`)
+        vox = ((geom - lo) / dx).astype(jnp.int32)
 
         from mobi_tpu.ops.voxel_ops import bev_pool
 

@@ -12,6 +12,12 @@ swap), and runs the patched detection evaluation
   python scripts/detection_eval.py --dataroot /data/nuscenes \
       --version v1.0-mini --results results.json --out-dir results/det \
       [--edited-samples-path samples-edited] [--edited-objects-restrict]
+
+With `--checkpoint bevfusion-det.pth` the INFERENCE stage runs too (the
+other half of tools/test.py): the reference-format detector checkpoint is
+imported via mobi_tpu.import_bevfusion, run over the (edited) scenes with
+`--sweeps-num` aggregated clouds (reference loading.py:84-238), and its
+results.json written to --results before evaluation.
 """
 from __future__ import annotations
 
@@ -33,7 +39,28 @@ def main(argv=None):
                    help="relative dir under dataroot with edited sensor "
                         "files + objects.json")
     p.add_argument("--edited-objects-restrict", action="store_true")
+    p.add_argument("--checkpoint", default=None,
+                   help="reference-format detector .pth: run inference and "
+                        "write --results before evaluating")
+    p.add_argument("--sweeps-num", type=int, default=10,
+                   help="previous lidar sweeps aggregated per keyframe "
+                        "during inference (reference eval uses 10)")
+    p.add_argument("--use-camera", action="store_true",
+                   help="run the camera+lidar fusion model (default "
+                        "lidar-only)")
+    p.add_argument("--max-samples", type=int, default=None)
     args = p.parse_args(argv)
+
+    if args.checkpoint:
+        from mobi_tpu.detector_inference import run_detector
+
+        run_detector(
+            args.dataroot, args.checkpoint, args.results,
+            version=args.version,
+            edited_samples_path=args.edited_samples_path,
+            sweeps_num=args.sweeps_num, use_camera=args.use_camera,
+            max_samples=args.max_samples,
+        )
 
     from mobi_tpu.data.nuscenes_tables import NuScenesTables
     from mobi_tpu.eval.detection import (
