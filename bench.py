@@ -144,6 +144,20 @@ def main():
     # Pin params and the batch to the accelerator ONCE. Without this every
     # call re-transfers the ~3.4 GB fp32 parameter tree through the tunnel,
     # which dominated the r2 first measurement (~78 inpaints/hr).
+    import os
+
+    # bf16 parameter residency (PROFILE.md lever): the UNet computes in bf16
+    # anyway, so pre-casting >=2-D weights halves the tunnel transfer and
+    # removes the per-use fp32->bf16 converts. 1-D leaves (norm scales,
+    # biases) stay fp32. MOBI_BENCH_BF16_PARAMS=0 opts out for A/B.
+    if os.environ.get("MOBI_BENCH_BF16_PARAMS", "1") == "1":
+        params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if (hasattr(x, "dtype") and x.dtype == jnp.float32 and x.ndim >= 2)
+            else x,
+            params,
+        )
+        log("params pre-cast to bf16 (>=2-D leaves)")
     dev = jax.devices()[0]
     log(f"transferring params to {dev.platform} ...")
     t_x = time.perf_counter()
@@ -151,8 +165,6 @@ def main():
     batch = jax.device_put(batch, dev)
     jax.block_until_ready(params)
     log(f"transfer done in {time.perf_counter() - t_x:.1f}s")
-
-    import os
 
     # default 1 = the faithful reference DDIM; >1 measures the opt-in
     # encoder-propagation mode (PROFILE.md) — never the headline number

@@ -379,6 +379,9 @@ def import_mobi_checkpoint(
     num_res_blocks: int = 2,
     attention_resolutions: Sequence[int] = (4, 2, 1),
     vae_resolution: int = 512,
+    vae_ch_mult: Sequence[int] = (1, 2, 4, 4),
+    vae_num_res_blocks: int = 2,
+    num_clip_layers: int = 24,
 ) -> Params:
     """Full LatentDiffusion Lightning state dict -> mobi_tpu params pytree."""
     sd = to_numpy_state_dict(state_dict)
@@ -392,17 +395,21 @@ def import_mobi_checkpoint(
 
     cam_sd = _strip_prefix(sd, "first_stage_model.")
     if cam_sd:
-        params["vae_camera"] = import_vae(cam_sd, resolution=vae_resolution)
+        params["vae_camera"] = import_vae(
+            cam_sd, ch_mult=vae_ch_mult, num_res_blocks=vae_num_res_blocks,
+            resolution=vae_resolution,
+        )
 
     lid_sd = _strip_prefix(sd, "lidar_stage_model.")
     if lid_sd:
         params["vae_lidar"] = import_vae(
-            lid_sd, resolution=vae_resolution, lidar_adapter=True
+            lid_sd, ch_mult=vae_ch_mult, num_res_blocks=vae_num_res_blocks,
+            resolution=vae_resolution, lidar_adapter=True,
         )
 
     cond_sd = _strip_prefix(sd, "cond_stage_model.")
     if cond_sd:
-        params["cond"] = import_cond_stage(cond_sd)
+        params["cond"] = import_cond_stage(cond_sd, num_clip_layers=num_clip_layers)
 
     if "proj_out.weight" in sd:
         params["proj_out"] = {

@@ -282,23 +282,29 @@ class MobiDiffusion:
     # ----------------------------------------------------------- vae stages
     def _encode_stage(
         self, vae: AutoencoderKL, vae_params, x: Array, rng: jax.Array,
-        scale: float,
+        scale: float, deterministic: bool = False,
     ) -> Array:
         posterior = vae.apply({"params": vae_params}, x, method=vae.encode)
-        z = posterior.sample(rng)
+        z = posterior.mode() if deterministic else posterior.sample(rng)
         return scale * z
 
     def _encode_triplet(
-        self, vae, vae_params, gt, inpaint, mask, rng, scale
+        self, vae, vae_params, gt, inpaint, mask, rng, scale,
+        deterministic: bool = False,
     ) -> Array:
         """(GT, inpaint, mask) -> 9ch latent (ddpm.py:1010-1031)."""
         k1, k2 = jax.random.split(rng)
-        z = self._encode_stage(vae, vae_params, gt, k1, scale)
-        z_inpaint = self._encode_stage(vae, vae_params, inpaint, k2, scale)
-        h, w = z.shape[1], z.shape[2]
-        mask_resized = jax.image.resize(
-            mask, (mask.shape[0], h, w, 1), method="nearest"
+        z = self._encode_stage(vae, vae_params, gt, k1, scale, deterministic)
+        z_inpaint = self._encode_stage(
+            vae, vae_params, inpaint, k2, scale, deterministic
         )
+        h, w = z.shape[1], z.shape[2]
+        # torch F.interpolate(mode="nearest") picks floor(i * in/out), NOT
+        # the centered-rounding jax.image.resize uses — index explicitly so
+        # the mask channel matches the reference bit-for-bit
+        ridx = jnp.arange(h) * mask.shape[1] // h
+        cidx = jnp.arange(w) * mask.shape[2] // w
+        mask_resized = mask[:, ridx][:, :, cidx]
         return jnp.concatenate([z, z_inpaint, mask_resized.astype(z.dtype)], axis=-1)
 
     def align_lidar_latent(
@@ -358,8 +364,12 @@ class MobiDiffusion:
         batch: Dict[str, Any],
         rng: jax.Array,
         encode_cond: bool = False,
+        deterministic: bool = False,
     ) -> Dict[str, Any]:
         """Batch dict -> interleaved latents + conditioning (ddpm.py:757-834).
+
+        `deterministic=True` encodes with the posterior MODE instead of a
+        sample — bit-reproducible latents for eval/parity.
 
         Expects the NuScenes batch schema (NHWC):
           batch["image"]: {GT, inpaint_image, inpaint_mask [B,H,W,*],
@@ -377,7 +387,7 @@ class MobiDiffusion:
             z_image = self._encode_triplet(
                 self.vae_camera, params["vae_camera"], img["GT"],
                 img["inpaint_image"], img["inpaint_mask"], k_img,
-                cfg.scale_factor,
+                cfg.scale_factor, deterministic,
             )
             zs.append(z_image)
             conds.append(dict(img["cond"]))
@@ -387,7 +397,7 @@ class MobiDiffusion:
             z_lidar_full = self._encode_triplet(
                 self.vae_lidar, params["vae_lidar"], lid["range_data"],
                 lid["range_data_inpaint"], lid["range_mask"], k_lid,
-                cfg.lidar_scale_factor,
+                cfg.lidar_scale_factor, deterministic,
             )
             lidar_cond = dict(lid["cond"])
             if "ref_image" in cfg.cond_stage_key and "ref_image" not in lidar_cond:
@@ -437,9 +447,13 @@ class MobiDiffusion:
         context: Array,
         t: Array,
         rng: jax.Array,
+        noise: Array | None = None,
     ) -> Tuple[Array, Dict[str, Array]]:
-        """eps-MSE on the first 4 channels (ddpm.py:1177-1217)."""
-        noise = jax.random.normal(rng, z[..., :4].shape, dtype=z.dtype)
+        """eps-MSE on the first 4 channels (ddpm.py:1177-1217). Explicit
+        `noise` overrides the rng draw (parity/debugging, like the
+        reference's noise kwarg)."""
+        if noise is None:
+            noise = jax.random.normal(rng, z[..., :4].shape, dtype=z.dtype)
         x_noisy = self.schedule.q_sample(z[..., :4], t, noise)
         x9 = jnp.concatenate([x_noisy, z[..., 4:]], axis=-1)
         eps = self.apply_model(params, x9, t, context)
@@ -480,8 +494,12 @@ class MobiDiffusion:
         sampler: str = "plms",
         eta: float = 0.0,
         encoder_interval: int = 1,
+        x_T: Array | None = None,
     ) -> Array:
         """Sample latents given encoded `data` from get_input(encode_cond=True).
+
+        `x_T` overrides the initial noise draw (parity/reproducibility —
+        the reference samplers accept the same kwarg).
 
         `encoder_interval > 1` (ddim only) turns on encoder propagation —
         see samplers.ddim_sample; approximate, off by default.
@@ -506,7 +524,10 @@ class MobiDiffusion:
         # the sampling carry stays float32 (schedule math is fp32; the UNet
         # casts its inputs to the activation dtype internally) — mixing a
         # bf16 carry with fp32 step tables would change dtype across the scan
-        x_T = jax.random.normal(k_init, z[..., :4].shape, dtype=jnp.float32)
+        if x_T is None:
+            x_T = jax.random.normal(k_init, z[..., :4].shape, dtype=jnp.float32)
+        else:
+            x_T = x_T.astype(jnp.float32)
 
         def model_fn(x9, t, ctx):
             return self.apply_model(params, x9, t, ctx)

@@ -26,11 +26,16 @@ def swish(x: Array) -> Array:
 
 
 class GroupNorm(nn.Module):
-    """GroupNorm over the channel (last) axis, float32 compute."""
+    """GroupNorm over the channel (last) axis, float32 compute.
+
+    `fuse_silu=True` computes silu(groupnorm(x)) through the Pallas
+    single-pass kernel (ops/fused_norm.py) on TPU — callers must then skip
+    their own swish. Parameter tree is identical either way."""
 
     num_groups: int = 32
     eps: float = 1e-6
     dtype: jnp.dtype = jnp.float32
+    fuse_silu: bool = False
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
@@ -38,6 +43,12 @@ class GroupNorm(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if self.fuse_silu and x.ndim == 4:
+            from mobi_tpu.ops.fused_norm import fused_groupnorm_silu
+
+            return fused_groupnorm_silu(
+                x, scale, bias, self.num_groups, self.eps
+            )
         x = x.astype(jnp.float32)
         spatial = x.shape[1:-1]
         # real configs always have c >= 32; clamp only for tiny test widths

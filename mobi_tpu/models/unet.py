@@ -184,15 +184,24 @@ class ResBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, emb: Array) -> Array:
+        import os
+
         in_ch = x.shape[-1]
         out_ch = self.out_channels or in_ch
-        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="in_norm")(x)
-        h = swish(h)
+        # MOBI_FUSED_GN=1 routes groupnorm+silu through the Pallas
+        # single-pass kernel (A/B knob, see PROFILE.md)
+        fused = os.environ.get("MOBI_FUSED_GN", "0") == "1"
+        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="in_norm",
+                      fuse_silu=fused)(x)
+        if not fused:
+            h = swish(h)
         h = Conv2d(out_ch, (3, 3), dtype=self.dtype, name="in_conv")(h)
         e = Dense(out_ch, dtype=self.dtype, name="emb_proj")(swish(emb))
         h = h + e[:, None, None, :]
-        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="out_norm")(h)
-        h = swish(h)
+        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="out_norm",
+                      fuse_silu=fused)(h)
+        if not fused:
+            h = swish(h)
         h = Conv2d(out_ch, (3, 3), zero_init=True, dtype=self.dtype, name="out_conv")(h)
         if in_ch != out_ch:
             x = Conv2d(out_ch, (1, 1), dtype=self.dtype, name="skip_connection")(x)

@@ -110,3 +110,66 @@ def test_attention_matches_torch_sdpa():
     ref = F.scaled_dot_product_attention(tq, tk, tv)
     ref = ref.transpose(1, 2).reshape(B, N, H * D).numpy()
     np.testing.assert_allclose(np.asarray(ours), ref, atol=1e-5)
+
+
+def test_fused_groupnorm_silu_matches_reference():
+    """Pallas fused GN+SiLU (interpret mode) == GroupNorm + swish, and the
+    custom VJP matches the reference gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mobi_tpu.models.layers import GroupNorm, swish
+    from mobi_tpu.ops.fused_norm import _gn_silu_reference, fused_groupnorm_silu
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 64)).astype(np.float32))
+    scale = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+    bias = jnp.asarray(rng.standard_normal(64).astype(np.float32))
+
+    gn = GroupNorm(num_groups=32, eps=1e-5)
+    want = swish(gn.apply({"params": {"scale": scale, "bias": bias}}, x))
+    got = fused_groupnorm_silu(x, scale, bias, 32, 1e-5, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # bf16 activations round-trip through the kernel dtype
+    got16 = fused_groupnorm_silu(
+        x.astype(jnp.bfloat16), scale, bias, 32, 1e-5, interpret=True
+    )
+    assert got16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(got16, np.float32), np.asarray(want), atol=3e-2
+    )
+
+    # gradient parity (custom VJP recomputes via the reference path)
+    def loss_fused(x, s, b):
+        return fused_groupnorm_silu(x, s, b, 32, 1e-5, True).sum()
+
+    def loss_ref(x, s, b):
+        return _gn_silu_reference(x, s, b, 32, 1e-5).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, scale, bias)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_resblock_fused_gn_env_knob(monkeypatch):
+    """MOBI_FUSED_GN=1 keeps the ResBlock param tree and (on CPU fallback)
+    the numerics identical."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mobi_tpu.models.unet import ResBlock
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 8, 8, 64)).astype(np.float32))
+    emb = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (1, 32)).astype(np.float32))
+    blk = ResBlock()
+    params = blk.init(jax.random.PRNGKey(0), x, emb)
+    base = blk.apply(params, x, emb)
+    monkeypatch.setenv("MOBI_FUSED_GN", "1")
+    fused = blk.apply(params, x, emb)  # CPU -> reference fallback
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(base), atol=1e-5)
