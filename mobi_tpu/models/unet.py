@@ -393,8 +393,13 @@ class UNetModel(nn.Module):
                     ds //= 2
                 block_idx += 1
 
-        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="out_norm")(h)
-        h = swish(h)
+        import os as _os
+
+        _fused = _os.environ.get("MOBI_FUSED_GN", "0") == "1"
+        h = GroupNorm(eps=1e-5, dtype=self.dtype, name="out_norm",
+                      fuse_silu=_fused)(h)
+        if not _fused:
+            h = swish(h)
         h = Conv2d(
             self.out_channels, (3, 3), zero_init=True, dtype=self.dtype,
             name="out_conv",

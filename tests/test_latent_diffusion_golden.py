@@ -80,10 +80,20 @@ def _install_ldm_runtime_stubs():
         sys.modules["pytorch_lightning.utilities"] = utilities
         sys.modules["pytorch_lightning.utilities.distributed"] = distributed
 
-    if "torchvision" not in sys.modules:
+    # NB: extend (don't skip) an existing stub — test_golden_reference.py
+    # installs a torchvision stub WITHOUT the .utils submodule, and stub
+    # modules aren't packages, so `from torchvision.utils import make_grid`
+    # needs an explicit sys.modules entry regardless of who stubbed first.
+    tv = sys.modules.get("torchvision")
+    if tv is None:
         tv = types.ModuleType("torchvision")
+        sys.modules["torchvision"] = tv
+    if "torchvision.utils" not in sys.modules:
         tv_utils = types.ModuleType("torchvision.utils")
         tv_utils.make_grid = lambda x, **k: x
+        tv.utils = tv_utils
+        sys.modules["torchvision.utils"] = tv_utils
+    if "torchvision.transforms" not in sys.modules:
         tv_tr = types.ModuleType("torchvision.transforms")
 
         class Resize:
@@ -94,10 +104,7 @@ def _install_ldm_runtime_stubs():
                 return x
 
         tv_tr.Resize = Resize
-        tv.utils = tv_utils
         tv.transforms = tv_tr
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.utils"] = tv_utils
         sys.modules["torchvision.transforms"] = tv_tr
 
     if "taming" not in sys.modules:

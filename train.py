@@ -161,13 +161,17 @@ def main(argv=None):
     step_fn = jax.jit(make_train_step(
         model, tx, use_ema=cfg["model"]["params"].get("use_ema", False)))
 
+    # On a 1-core host more loader threads are strictly worse (GIL + numpy
+    # contention, measured in PROFILE.md "Host input-pipeline throughput");
+    # clamp to the core count.
+    workers = max(1, min(args.num_workers, os.cpu_count() or 1))
     train_loader = PrefetchLoader(
         datasets["train"], batch_size, shuffle=True,
-        num_threads=args.num_workers, seed=args.seed,
+        num_threads=workers, seed=args.seed,
     )
     val_loader = (
         PrefetchLoader(datasets["validation"], batch_size, shuffle=False,
-                       num_threads=args.num_workers)
+                       num_threads=workers)
         if "validation" in datasets else None
     )
 
