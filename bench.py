@@ -47,54 +47,21 @@ TARGET_PER_HOUR = 1000.0
 
 
 def build():
-    import os
-    import pickle
-
     from mobi_tpu.models.diffusion import MobiConfig, MobiDiffusion
+    from mobi_tpu.utils.param_cache import cached_init
 
     cfg = MobiConfig(dtype=jnp.bfloat16)
     model = MobiDiffusion(cfg)
     # Random-init params are identical run to run (fixed PRNGKey), and the
-    # flagship init costs ~45 min of eager CPU compute on a 1-core host —
-    # cache the tree on disk so repeated bench runs skip straight to the
-    # device transfer. The key hashes the full MobiConfig so any model-shape
-    # change invalidates the cache instead of silently loading a stale tree.
-    import hashlib
-
-    import chex
-
-    cfg_key = hashlib.sha1(repr(cfg).encode()).hexdigest()[:12]
-    cache = os.path.expanduser(f"~/.cache/mobi_bench_params_{cfg_key}.pkl")
-    rng = jax.random.PRNGKey(0)
-
-    def valid(tree) -> bool:
-        # trace-only shape check (no compute): a restored tree must match the
-        # current model's init structure and leaf shapes exactly
-        try:
-            want = jax.eval_shape(lambda r: model.init_params(r, on_cpu=False), rng)
-        except Exception:
-            return True  # can't validate — trust the config-keyed filename
-        try:
-            chex.assert_trees_all_equal_shapes(tree, want)
-            return True
-        except Exception:
-            return False
-
-    for path in (cache, os.path.expanduser("~/.cache/mobi_bench_params_v1.pkl")):
-        if os.path.exists(path):
-            with open(path, "rb") as f:
-                tree = pickle.load(f)
-            if valid(tree):
-                if path != cache:  # migrate the legacy un-keyed cache
-                    with open(cache, "wb") as f:
-                        pickle.dump(tree, f, protocol=4)
-                return model, tree
-    params = model.init_params(rng)
-    try:
-        with open(cache, "wb") as f:
-            pickle.dump(jax.device_get(params), f, protocol=4)
-    except Exception:
-        pass
+    # flagship init costs ~20-45 min of eager CPU compute on a 1-core host —
+    # cached_init keeps the tree on disk keyed by (config repr, PRNG key)
+    # and shape-validates it against eval_shape before reuse.
+    params = cached_init(
+        lambda r: model.init_params(r),
+        jax.random.PRNGKey(0),
+        repr(cfg),
+        shape_fn=lambda r: model.init_params(r, on_cpu=False),
+    )
     return model, params
 
 

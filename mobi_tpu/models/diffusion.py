@@ -267,9 +267,20 @@ class MobiDiffusion:
 
     def trainable_mask(self, params: Params) -> Params:
         """Trainable partition: UNet adapters + bbox embedder +
-        bbox_uncond_vector (reference ddpm.py:1616-1669)."""
+        bbox_uncond_vector (reference ddpm.py:1616-1669).
+
+        MOBI_TRAIN_UNET_FULL=1 marks the WHOLE UNet trainable instead —
+        a beyond-reference full-fine-tune mode (the reference hard-codes
+        adapter-only training); VAEs and the CLIP tower stay frozen."""
+        import os as _os
+
         mask = jax.tree_util.tree_map(lambda _: False, params)
-        mask["unet"] = adapter_trainable_mask(params["unet"])
+        if _os.environ.get("MOBI_TRAIN_UNET_FULL", "0") == "1":
+            mask["unet"] = jax.tree_util.tree_map(
+                lambda _: True, params["unet"]
+            )
+        else:
+            mask["unet"] = adapter_trainable_mask(params["unet"])
         if "cond" in params:
             mask["cond"] = jax.tree_util.tree_map_with_path(
                 lambda p, _: "bbox_embedder" in _path_str(p), params["cond"]

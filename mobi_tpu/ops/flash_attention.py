@@ -176,14 +176,282 @@ def _xla_reference(q, k, v):
     return jnp.einsum("bhqk,bkhd->bqhd", w, v)
 
 
+# --------------------------------------------------------------- backward
+# FlashAttention-2-style backward: the N x N probability matrix is
+# recomputed tile-by-tile from (q, k, lse) in VMEM and never touches HBM.
+# Without this, training materializes fp32 [B, H, 4096, 4096] logits in the
+# UNet backward — 4 GB per ds-1 transformer block, 108 GB for the 512-config
+# train step (observed OOM vs the 15.75 GB v5e HBM).
+#
+#   delta_i = rowsum(dO_i * O_i)
+#   p_ij    = exp(q_i . k_j^T * scale - lse_i)
+#   ds_ij   = p_ij * (dO_i . v_j^T - delta_i) * scale
+#   dq_i    = sum_j ds_ij k_j     (dq kernel: grid over q tiles)
+#   dk_j    = sum_i ds_ij^T q_i   (dkv kernel: grid over k tiles)
+#   dv_j    = sum_i p_ij^T dO_i
+#
+# MOBI_FLASH_BWD=xla falls back to differentiating the XLA recompute.
+_BWD_MODE = os.environ.get("MOBI_FLASH_BWD", "pallas")
+
+
+def _flash_kernel_lse(q_ref, k_ref, v_ref, o_ref, lse_ref, *,
+                      tile_k: int, scale: float):
+    """_flash_kernel that also writes lse = m + log(l) for the backward."""
+    q = q_ref[0]
+    tq, d = q.shape
+    n = k_ref.shape[1]
+    num_k = n // tile_k
+
+    def body(j, carry):
+        acc, m_prev, l_prev = carry
+        k = k_ref[0, pl.ds(j * tile_k, tile_k), :]
+        v = v_ref[0, pl.ds(j * tile_k, tile_k), :]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m_cur = jnp.max(logits, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(logits - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return acc, m_new, l_new
+
+    acc0 = jnp.zeros((tq, d), jnp.float32)
+    m0 = jnp.full((tq, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((tq, 1), jnp.float32)
+    acc, m, l = jax.lax.fori_loop(0, num_k, body, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l)                       # [TQ, 1]
+
+
+def _flash_fwd_lse_impl(q, k, v, interpret: bool = False):
+    """Returns (out [B,N,H,D], lse [B*H, N, 1] fp32).
+
+    lse rides as a trailing-singleton 3-D array: Mosaic cannot shape-cast a
+    [TQ, 1] statistic onto the lane dim, so it is stored column-shaped."""
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = d**-0.5
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    tile_q = _pick_tile(nq, 512)
+    tile_k = _pick_tile(nk, 4096)
+    kernel = functools.partial(_flash_kernel_lse, tile_k=tile_k, scale=scale)
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(b * h, nq // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, nq, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, d).transpose(0, 2, 1, 3), lse
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         dq_ref, *, tile_k: int, scale: float):
+    q = q_ref[0]                                      # [TQ, D]
+    do = do_ref[0]
+    lse = lse_ref[0]                                  # [TQ, 1] fp32
+    delta = delta_ref[0]
+    tq, d = q.shape
+    n = k_ref.shape[1]
+    num_k = n // tile_k
+
+    def body(j, acc):
+        k = k_ref[0, pl.ds(j * tile_k, tile_k), :]    # [TK, D]
+        v = v_ref[0, pl.ds(j * tile_k, tile_k), :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                     # [TQ, TK]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [TQ, TK]
+        ds = (p * (dp - delta) * scale).astype(k.dtype)
+        return acc + jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    acc = jax.lax.fori_loop(0, num_k, body, jnp.zeros((tq, d), jnp.float32))
+    dq_ref[0] = acc.astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          dk_ref, dv_ref, *, tile_q: int, scale: float):
+    k = k_ref[0]                                      # [TK, D]
+    v = v_ref[0]
+    tk, d = k.shape
+    n = q_ref.shape[1]
+    num_q = n // tile_q
+
+    def body(i, carry):
+        dk_acc, dv_acc = carry
+        q = q_ref[0, pl.ds(i * tile_q, tile_q), :]    # [TQ, D]
+        do = do_ref[0, pl.ds(i * tile_q, tile_q), :]
+        lse = lse_ref[0, pl.ds(i * tile_q, tile_q)]   # [TQ, 1]
+        delta = delta_ref[0, pl.ds(i * tile_q, tile_q)]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                     # [TQ, TK]
+        p = jnp.exp(s - lse)
+        pt = p.astype(do.dtype)
+        dv_acc = dv_acc + jax.lax.dot_general(
+            pt, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [TK, D]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [TQ, TK]
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        dk_acc = dk_acc + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                             # [TK, D]
+        return dk_acc, dv_acc
+
+    z = jnp.zeros((tk, d), jnp.float32)
+    dk_acc, dv_acc = jax.lax.fori_loop(0, num_q, body, (z, z))
+    dk_ref[0] = dk_acc.astype(dk_ref.dtype)
+    dv_ref[0] = dv_acc.astype(dv_ref.dtype)
+
+
+def _flash_bwd_impl(q, k, v, o, lse, do, interpret: bool = False):
+    b, nq, h, d = q.shape
+    nk = k.shape[1]
+    scale = d**-0.5
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, nk, d)
+    dof = do.transpose(0, 2, 1, 3).reshape(b * h, nq, d)
+    # delta = rowsum(dO * O): elementwise + reduce, no N x N tensor
+    delta = jnp.sum(
+        do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1).reshape(b * h, nq, 1)
+
+    # fp32 [tile, loop-tile] temporaries bound VMEM here (s, p, dp, ds are
+    # each tile x loop-tile fp32). loop tiles of 1024 put the dkv kernel
+    # 864K over the 16M scoped-vmem limit at N=4096 (measured on the v5e);
+    # 512 leaves ~5M headroom.
+    tile_q = _pick_tile(nq, 512)
+    tile_k = _pick_tile(nk, 512)
+    loop_k = _pick_tile(nk, 512)
+    loop_q = _pick_tile(nq, 512)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, tile_k=loop_k, scale=scale),
+        grid=(b * h, nq // tile_q),
+        in_specs=[
+            pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_q, 1), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_q, d), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, tile_q=loop_q, scale=scale),
+        grid=(b * h, nk // tile_k),
+        in_specs=[
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, d), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nq, 1), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tile_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_k, d), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, nk, d), k.dtype),
+            jax.ShapeDtypeStruct((b * h, nk, d), v.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lse, delta)
+
+    unflat = lambda x, n: x.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    return unflat(dq, nq), unflat(dk, nk), unflat(dv, nk)
+
+
 def _fwd(q, k, v):
-    return _flash_fwd_impl(q, k, v), (q, k, v)
+    if _BWD_MODE == "xla":
+        return _flash_fwd_impl(q, k, v), (q, k, v, None, None)
+    out, lse = jax.lax.platform_dependent(
+        q, k, v,
+        tpu=_flash_fwd_lse_impl,
+        default=lambda a, b_, c: (
+            _xla_reference(a, b_, c),
+            jnp.zeros(
+                (a.shape[0] * a.shape[2], a.shape[1], 1), jnp.float32
+            ),
+        ),
+    )
+    return out, (q, k, v, out, lse)
 
 
 def _bwd(res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(_xla_reference, q, k, v)
-    return vjp(g)
+    q, k, v, o, lse = res
+    if _BWD_MODE == "xla" or o is None:
+        _, vjp = jax.vjp(_xla_reference, q, k, v)
+        return vjp(g)
+
+    def xla_bwd(q_, k_, v_, o_, lse_, g_):
+        _, vjp = jax.vjp(_xla_reference, q_, k_, v_)
+        return vjp(g_)
+
+    return jax.lax.platform_dependent(
+        q, k, v, o, lse, g,
+        tpu=_flash_bwd_impl,
+        default=xla_bwd,
+    )
 
 
 flash_attention.defvjp(_fwd, _bwd)

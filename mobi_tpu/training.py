@@ -115,7 +115,18 @@ def make_train_step(
     """
 
     def loss_fn(params, batch, rng):
-        loss, metrics = model.training_loss(params, batch, rng)
+        # Freeze semantics match the reference's requires_grad=False
+        # (ddpm.py:1616-1669): stop_gradient on every frozen LEAF prunes the
+        # whole VAE/CLIP/UNet-backbone weight backward from the program.
+        # Without it jax differentiates the full tree and the optimizer only
+        # masks the updates afterwards — the pruned-away backward costs
+        # ~88 GB of HBM temporaries at the 512 config (v5e OOM, PROFILE.md).
+        # Activation gradients still flow THROUGH frozen ops to the adapters.
+        mask = model.trainable_mask(params)
+        p = jax.tree_util.tree_map(
+            lambda x, t: x if t else jax.lax.stop_gradient(x), params, mask
+        )
+        loss, metrics = model.training_loss(p, batch, rng)
         return loss, metrics
 
     def train_step(state: TrainState, batch, rng):

@@ -40,8 +40,10 @@ def test_flash_online_softmax_extreme_logits():
 
 
 def test_flash_custom_vjp_bwd_matches_xla_grad():
-    """The custom-vjp backward (XLA recompute, flash_attention.py:113-121)
-    must produce the XLA attention gradients."""
+    """The custom-vjp backward must produce the XLA attention gradients.
+    Off-TPU the residual-carrying path dispatches to the XLA recompute via
+    platform_dependent; `o=None` residuals (MOBI_FLASH_BWD=xla mode) take
+    the recompute branch unconditionally."""
     from mobi_tpu.ops.flash_attention import _bwd
 
     shape = (1, 128, 2, 32)
@@ -51,9 +53,14 @@ def test_flash_custom_vjp_bwd_matches_xla_grad():
 
     _, vjp_fn = jax.vjp(_xla_reference, q, k, v)
     g_ref = vjp_fn(ct)
-    g_bwd = _bwd((q, k, v), ct)
+    g_bwd = _bwd((q, k, v, None, None), ct)
     for a, b in zip(g_ref, g_bwd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    out, vjp_fn2 = jax.vjp(flash_attention, q, k, v)
+    g_full = vjp_fn2(ct)
+    for a, b in zip(g_ref, g_full):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
 
 
 def test_auto_backend_grad_through_long_seq_on_cpu():
@@ -127,3 +134,68 @@ def test_transposed_av_kernel_matches_plain():
         )(q, k, v)
         outs.append(np.asarray(out))
     np.testing.assert_allclose(outs[0], outs[1], atol=2e-5, rtol=2e-5)
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 4, 40), (1, 1024, 2, 64),
+                                   (2, 512, 3, 80)])
+def test_flash_fwd_lse_matches_xla(shape):
+    from mobi_tpu.ops.flash_attention import _flash_fwd_lse_impl
+
+    b, n, h, d = shape
+    ks = jax.random.split(jax.random.PRNGKey(5), 3)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks)
+    out, lse = _flash_fwd_lse_impl(q, k, v, interpret=True)
+    ref = _xla_reference(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # lse must equal logsumexp of the scaled logits, rowwise
+    logits = np.einsum(
+        "bqhd,bkhd->bhqk", np.asarray(q), np.asarray(k)
+    ) * (d ** -0.5)
+    want = np.log(np.exp(
+        logits - logits.max(-1, keepdims=True)
+    ).sum(-1)) + logits.max(-1)
+    np.testing.assert_allclose(
+        np.asarray(lse).reshape(b, h, n), want, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("shape", [(2, 256, 4, 40), (1, 1024, 2, 64),
+                                   (2, 512, 3, 80)])
+def test_flash_bwd_kernels_match_xla_grads(shape):
+    """The streaming dq/dk/dv kernels (interpret mode) vs the XLA attention
+    VJP — the memory-critical training path (no N^2 HBM tensor)."""
+    from mobi_tpu.ops.flash_attention import (
+        _flash_bwd_impl,
+        _flash_fwd_lse_impl,
+    )
+
+    ks = jax.random.split(jax.random.PRNGKey(6), 4)
+    q, k, v = (jax.random.normal(kk, shape, jnp.float32) for kk in ks[:3])
+    g = jax.random.normal(ks[3], shape, jnp.float32)
+    out, lse = _flash_fwd_lse_impl(q, k, v, interpret=True)
+    dq, dk, dv = _flash_bwd_impl(q, k, v, out, lse, g, interpret=True)
+    ref_out, vjp = jax.vjp(_xla_reference, q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rdq), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rdk), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rdv), atol=5e-4)
+
+
+def test_flash_bwd_extreme_logits_stable():
+    shape = (1, 256, 2, 40)
+    from mobi_tpu.ops.flash_attention import (
+        _flash_bwd_impl,
+        _flash_fwd_lse_impl,
+    )
+
+    q = jnp.full(shape, 8.0)
+    k = jax.random.normal(jax.random.PRNGKey(7), shape) * 8.0
+    v = jax.random.normal(jax.random.PRNGKey(8), shape)
+    g = jax.random.normal(jax.random.PRNGKey(9), shape)
+    out, lse = _flash_fwd_lse_impl(q, k, v, interpret=True)
+    dq, dk, dv = _flash_bwd_impl(q, k, v, out, lse, g, interpret=True)
+    ref_out, vjp = jax.vjp(_xla_reference, q, k, v)
+    rdq, rdk, rdv = vjp(g)
+    for a, b_ in ((dq, rdq), (dk, rdk), (dv, rdv)):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)

@@ -125,10 +125,20 @@ def main(argv=None):
               f"(accum {args.accumulate_grad_batches} x dev {n_devices} x bs {batch_size})")
 
     rng = jax.random.PRNGKey(args.seed)
+    # Flagship init executes the full forward eagerly on CPU (~20 min on a
+    # 1-core host); cached_init reuses a disk tree keyed by (config, seed)
+    # and shape-validated against eval_shape (MOBI_PARAM_CACHE=0 opts out).
+    from mobi_tpu.utils.param_cache import cached_init
+
+    init_params = cached_init(
+        lambda r: model.init_params(r), rng, repr(mcfg),
+        shape_fn=lambda r: model.init_params(r, on_cpu=False),
+    )
     state, tx = create_train_state(
         model, rng, base_lr=base_lr,
         accumulate_steps=args.accumulate_grad_batches,
         use_ema=cfg["model"]["params"].get("use_ema", False),
+        params=init_params,
     )
 
     ckpt_dir = os.path.join(logdir, "checkpoints")
@@ -153,13 +163,75 @@ def main(argv=None):
         state = state._replace(params=jax.tree_util.tree_map(
             lambda a: np.asarray(a), params))
 
+    # From-scratch evidence runs only: the reference UNet zero-initializes
+    # its final out_conv and every adapter connector, so with adapter-only
+    # trainability a from-scratch model has eps_pred = 0 and ZERO gradient
+    # flow (the zero out_conv blocks the chain rule) — real runs start from
+    # pretrained PbE weights where these are non-zero. This knob perturbs
+    # all-zero >=2-D leaves so the training path can be exercised without a
+    # published checkpoint. Never on by default.
+    if os.environ.get("MOBI_RANDOMIZE_ZERO_INIT", "0") == "1":
+        import jax.numpy as _jnp
+
+        zrng = np.random.default_rng(args.seed)
+
+        def _perturb(x):
+            if getattr(x, "ndim", 0) >= 2 and not np.any(np.asarray(x)):
+                return _jnp.asarray(
+                    zrng.normal(0, 0.02, x.shape).astype(np.float32)
+                ).astype(x.dtype)
+            return x
+
+        state = state._replace(
+            params=jax.tree_util.tree_map(_perturb, state.params))
+        print("zero-init leaves randomized (MOBI_RANDOMIZE_ZERO_INIT)")
+
+    # Frozen-param bf16 residency (MOBI_TRAIN_BF16_FROZEN=0 opts out): the
+    # frozen stages (VAEs, CLIP, UNet backbone) compute in bf16 anyway and
+    # never receive updates, so keeping their >=2-D weights fp32 on device
+    # only burns HBM — ~2.5 GB at the 512 config, the difference between
+    # OOM (15.86G needed) and fitting the 15.75G v5e (PROFILE.md). Norm
+    # scales/biases (1-D) stay fp32; trainable leaves stay fp32 (optimizer
+    # masters).
+    import jax.numpy as jnp
+
+    if (mcfg.dtype == jnp.bfloat16
+            and os.environ.get("MOBI_TRAIN_BF16_FROZEN", "1") == "1"):
+        fmask = model.trainable_mask(state.params)
+        state = state._replace(params=jax.tree_util.tree_map(
+            lambda x, t: x.astype(jnp.bfloat16)
+            if (not t and getattr(x, "ndim", 0) >= 2
+                and x.dtype == np.float32)
+            else x,
+            state.params, fmask,
+        ))
+
     mesh = create_mesh(fsdp=args.fsdp)
     state = state._replace(
         params=shard_params(mesh, state.params),
         opt_state=jax.device_put(state.opt_state),
     )
-    step_fn = jax.jit(make_train_step(
-        model, tx, use_ema=cfg["model"]["params"].get("use_ema", False)))
+    try:  # startup HBM telemetry (reference CUDACallback analogue)
+        jax.block_until_ready(state.params)
+        stats = jax.devices()[0].memory_stats() or {}
+        print(
+            f"device mem after params+opt transfer: "
+            f"{stats.get('bytes_in_use', 0) / 2**30:.2f} GiB in use / "
+            f"{stats.get('bytes_limit', 0) / 2**30:.2f} GiB",
+            flush=True,
+        )
+    except Exception:
+        pass
+    # donate the state: without aliasing, input and output params+opt
+    # buffers coexist across the step boundary — 2x the resident tree, the
+    # difference between fitting and a run-time ResourceExhausted on the
+    # 15.75G v5e at the 512 config.
+    step_fn = jax.jit(
+        make_train_step(
+            model, tx, use_ema=cfg["model"]["params"].get("use_ema", False)
+        ),
+        donate_argnums=(0,),
+    )
 
     # On a 1-core host more loader threads are strictly worse (GIL + numpy
     # contention, measured in PROFILE.md "Host input-pipeline throughput");
@@ -191,10 +263,15 @@ def main(argv=None):
 
     def crash_save():
         if not crash_saved["done"]:
-            mgr.save(int(state.step), jax.device_get(state))
-            mgr.wait()
+            try:
+                mgr.save(int(state.step), jax.device_get(state))
+                mgr.wait()
+                print("crash checkpoint written")
+            except Exception as e:
+                # a step that dies mid-flight leaves `state` pointing at
+                # DONATED (already-freed) buffers — nothing to save
+                print(f"crash-save skipped: {e}")
             crash_saved["done"] = True
-            print("crash checkpoint written")
 
     install_crash_save(crash_save)
 
