@@ -21,11 +21,10 @@ import numpy as np
 def _manager(ckpt_dir: str, max_to_keep: int = 5, best_fn=None):
     import orbax.checkpoint as ocp
 
-    options = ocp.CheckpointManagerOptions(
-        max_to_keep=max_to_keep,
-        best_fn=best_fn,
-        best_mode="min" if best_fn else None,
-    )
+    # orbax rejects best_mode=None even without a best_fn (its own default is
+    # 'max'); only pass best_mode when a best_fn is actually set.
+    kwargs = {"best_fn": best_fn, "best_mode": "min"} if best_fn else {}
+    options = ocp.CheckpointManagerOptions(max_to_keep=max_to_keep, **kwargs)
     return ocp.CheckpointManager(os.path.abspath(ckpt_dir), options=options)
 
 

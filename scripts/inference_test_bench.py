@@ -90,26 +90,43 @@ def main(argv=None):
     mcfg = mobi_config_from_yaml(cfg)
     model = MobiDiffusion(mcfg)
     rng = jax.random.PRNGKey(opt.seed)
-    params = model.init_params(rng)
-    if opt.ckpt:
+    if opt.ckpt and os.path.isdir(opt.ckpt):
+        # orbax dir: the restored tree is complete, so skip the expensive
+        # host-side init_params (it would be discarded wholesale).
         print(f"loading checkpoint {opt.ckpt}")
-        if os.path.isdir(opt.ckpt):
-            from mobi_tpu.checkpoint import CheckpointManager
+        from mobi_tpu.checkpoint import CheckpointManager
 
-            mgr = CheckpointManager(opt.ckpt)
-            params = mgr.restore()["params"]
-        else:
-            from mobi_tpu.import_torch import import_mobi_checkpoint
+        mgr = CheckpointManager(opt.ckpt)
+        params = mgr.restore()["params"]
+    else:
+        params = model.init_params(rng)
+    if opt.ckpt and not os.path.isdir(opt.ckpt):
+        print(f"loading checkpoint {opt.ckpt}")
+        from mobi_tpu.import_torch import import_mobi_checkpoint
 
-            sd = load_torch_checkpoint(opt.ckpt)
-            imported = import_mobi_checkpoint(
-                sd,
-                channel_mult=tuple(mcfg.unet_channel_mult),
-                num_res_blocks=mcfg.unet_num_res_blocks,
-                attention_resolutions=tuple(mcfg.unet_attention_resolutions),
-                vae_resolution=mcfg.image_height,
-            )
-            params = restore_partial(params, imported)
+        sd = load_torch_checkpoint(opt.ckpt)
+        imported = import_mobi_checkpoint(
+            sd,
+            channel_mult=tuple(mcfg.unet_channel_mult),
+            num_res_blocks=mcfg.unet_num_res_blocks,
+            attention_resolutions=tuple(mcfg.unet_attention_resolutions),
+            vae_resolution=mcfg.image_height,
+        )
+        params = restore_partial(params, imported)
+
+    # Pin params to the accelerator ONCE (bf16 for >=2-D weights — the UNet
+    # computes in bf16 anyway; see PROFILE.md "bf16 parameter residency").
+    # Without this every batch re-transfers the fp32 host tree through the
+    # tunnel, which dominates wall time on tunneled runtimes.
+    params = jax.tree.map(
+        lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+        if (hasattr(x, "dtype") and x.dtype == jnp.float32
+            and getattr(x, "ndim", 0) >= 2)
+        else jnp.asarray(x),
+        params,
+    )
+    params = jax.device_put(params, jax.devices()[0])
+    jax.block_until_ready(params)
 
     split = "rotation_test" if opt.rotation_test else "test"
     ds_cfg = dict(cfg["data"]["params"][split])
