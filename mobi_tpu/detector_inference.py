@@ -143,9 +143,12 @@ def run_detector(
     from mobi_tpu.checkpoint import load_torch_checkpoint
     from mobi_tpu.data.detection_dataset import DetectionSceneDataset
     from mobi_tpu.import_bevfusion import import_bevfusion
+    from functools import partial
+
     from mobi_tpu.models.bevfusion import (
         BEVFusionDetector,
         build_sparse_depth_map,
+        default_static_caps,
         prepare_lidar_inputs,
     )
 
@@ -157,11 +160,23 @@ def run_detector(
         load_images=use_camera, sweeps_num=sweeps_num,
     )
 
+    # static plan shapes -> the jitted forward compiles once for all clouds
+    static_caps = default_static_caps()
+
+    @partial(jax.jit, static_argnames=("out_shape",))
+    def forward(params, feats, plans, out_coords, out_shape, **kw):
+        preds = model.apply(
+            {"params": params}, feats, plans, out_coords, out_shape, **kw
+        )
+        return model.decode(preds)
+
     results: Dict[str, List[dict]] = {}
     n = len(ds) if max_samples is None else min(len(ds), max_samples)
     for i in range(n):
         ex = ds[i]
-        feats, plans, out_coords, out_shape = prepare_lidar_inputs(ex["points"])
+        feats, plans, out_coords, out_shape = prepare_lidar_inputs(
+            ex["points"], static_caps=static_caps
+        )
         kwargs = {}
         if use_camera:
             l2i = ex["lidar2image"]
@@ -174,10 +189,10 @@ def run_detector(
                 cam2lidar=jnp.asarray(ex["camera2lidar"]),
                 intrins=jnp.asarray(ex["camera_intrinsics"][:, :3, :3]),
             )
-        preds = model.apply(
-            {"params": params}, feats, plans, out_coords, out_shape, **kwargs
+        decoded = jax.tree.map(
+            np.asarray,
+            forward(params, feats, plans, out_coords, out_shape, **kwargs),
         )
-        decoded = jax.tree.map(np.asarray, model.decode(preds))
         decoded = {k: v[0] for k, v in decoded.items()}  # batch of 1
         rec = ds.tables.sample_record(ds._samples[i])
         results[ex["sample_token"]] = detections_to_nusc_results(

@@ -35,6 +35,7 @@ import numpy as np
 from mobi_tpu.ops.sparse_conv import (
     Rulebook,
     build_rulebook,
+    pad_rulebook,
     sparse_conv_apply,
 )
 
@@ -57,28 +58,63 @@ def hard_simple_vfe(voxels: Array, num_points: Array) -> Array:
 
 
 def plan_sparse_encoder(
-    coords: np.ndarray, sparse_shape: Sequence[int]
+    coords: np.ndarray,
+    sparse_shape: Sequence[int],
+    static_caps: Optional[Sequence[int]] = None,
 ) -> Tuple[Dict[str, Rulebook], np.ndarray, Tuple[int, int, int]]:
     """Host-side rulebook plan for SparseEncoderTPU.
 
     Returns ({name: Rulebook}, final coords, final spatial shape). Each
     stage's submanifold blocks share one rulebook; each stride-2 transition
     and the final (1,1,3)/(1,1,2) conv_out get their own.
+
+    static_caps: optional per-stage voxel-count caps
+    [stage0, stage1, ..., final] (len = num stages + 1). When given, every
+    rulebook/out_coords is padded to these fixed sizes so SUCCESSIVE POINT
+    CLOUDS COMPILE TO ONE PROGRAM — without it the jitted detector step
+    recompiles per cloud, which is unusable through a TPU compile service.
+    Raises if a cloud exceeds a cap (bump the caps, they are data-dependent
+    upper bounds). Pad gather rows point at the zero feature row; pad
+    scatter coords are out-of-bounds and dropped (mode="drop").
     """
     plans: Dict[str, Rulebook] = {}
     cur = np.asarray(coords, np.int64)
     shape = tuple(int(s) for s in sparse_shape)
+    caps = list(static_caps) if static_caps is not None else None
+    n_stages = len(ENCODER_STAGES)
+    if caps is not None and len(caps) != n_stages + 1:
+        raise ValueError(
+            f"static_caps needs {n_stages + 1} entries, got {len(caps)}"
+        )
 
-    plans["subm0"] = build_rulebook(cur, (3, 3, 3), submanifold=True)
+    # stage = the rulebook input's resolution level; pairs-per-offset is
+    # bounded by max(n_in, n_out) <= caps[level]
+    def _pad_subm(rb: Rulebook, stage: int) -> Rulebook:
+        if caps is None:
+            return rb
+        return pad_rulebook(
+            rb, pairs_to=caps[stage], out_to=caps[stage], n_in=caps[stage]
+        )
+
+    def _pad_down(rb: Rulebook, stage: int) -> Rulebook:
+        if caps is None:
+            return rb
+        return pad_rulebook(
+            rb, pairs_to=caps[stage], out_to=caps[stage + 1], n_in=caps[stage]
+        )
+
+    plans["subm0"] = _pad_subm(build_rulebook(cur, (3, 3, 3), submanifold=True), 0)
     for i, (_, down_ch, pad) in enumerate(ENCODER_STAGES):
         if i > 0:
-            plans[f"subm{i}"] = build_rulebook(cur, (3, 3, 3), submanifold=True)
+            plans[f"subm{i}"] = _pad_subm(
+                build_rulebook(cur, (3, 3, 3), submanifold=True), i
+            )
         if down_ch is not None:
             rb = build_rulebook(
                 cur, (3, 3, 3), stride=(2, 2, 2), padding=pad,
                 spatial_shape=shape, submanifold=False,
             )
-            plans[f"down{i}"] = rb
+            plans[f"down{i}"] = _pad_down(rb, i)
             cur = rb.out_coords.astype(np.int64)
             shape = tuple(
                 (shape[d] + 2 * pad[d] - 3) // 2 + 1 for d in range(3)
@@ -87,9 +123,15 @@ def plan_sparse_encoder(
         cur, (1, 1, 3), stride=(1, 1, 2), padding=(0, 0, 0),
         spatial_shape=shape, submanifold=False,
     )
-    plans["out"] = rb_out
+    last = n_stages - 1
+    plans["out"] = (
+        pad_rulebook(rb_out, pairs_to=caps[last], out_to=caps[last + 1],
+                     n_in=caps[last])
+        if caps is not None else rb_out
+    )
     out_shape = (shape[0], shape[1], (shape[2] - 3) // 2 + 1)
-    return plans, rb_out.out_coords.astype(np.int64), out_shape
+    out_coords = plans["out"].out_coords.astype(np.int64)
+    return plans, out_coords, out_shape
 
 
 def _bn(mdl, name, x, c, eps=1e-3):
@@ -163,7 +205,9 @@ class SparseEncoderTPU(nn.Module):
         X, Y, Z = out_shape
         dense = jnp.zeros((X, Y, Z, self.output_channels), h.dtype)
         oc = jnp.asarray(out_coords)
-        dense = dense.at[oc[:, 0], oc[:, 1], oc[:, 2]].set(h)
+        # mode="drop": static-shape plans pad out_coords with out-of-bounds
+        # sentinel rows that must not land in the grid
+        dense = dense.at[oc[:, 0], oc[:, 1], oc[:, 2]].set(h, mode="drop")
         return dense.reshape(1, X, Y, Z * self.output_channels)
 
 
@@ -707,9 +751,17 @@ def prepare_lidar_inputs(
     pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
     max_points: int = 10,
     max_voxels: int = 120000,
+    static_caps: Optional[Sequence[int]] = None,
 ):
     """Host-side stage: hard voxelize + mean VFE + sparse-conv plans
-    (the reference's voxelize()+SparseEncoder indice build)."""
+    (the reference's voxelize()+SparseEncoder indice build).
+
+    static_caps: per-level voxel caps (see plan_sparse_encoder). When set,
+    voxel features are zero-padded to static_caps[0] rows and every plan is
+    padded to fixed shapes, so every cloud produces IDENTICALLY-SHAPED
+    inputs — the jitted detector step then compiles exactly once.
+    `default_static_caps(max_voxels)` gives a safe schedule.
+    """
     from mobi_tpu import native
 
     voxels, coords, npv = native.hard_voxelize(
@@ -721,5 +773,37 @@ def prepare_lidar_inputs(
         int(round((pc_range[i + 3] - pc_range[i]) / voxel_size[i]))
         for i in range(3)
     )
-    plans, out_coords, out_shape = plan_sparse_encoder(coords, grid)
+    plans, out_coords, out_shape = plan_sparse_encoder(
+        coords, grid, static_caps=static_caps
+    )
+    if static_caps is not None:
+        if feats.shape[0] > static_caps[0]:
+            raise ValueError(
+                f"{feats.shape[0]} voxels exceed static_caps[0]="
+                f"{static_caps[0]}"
+            )
+        feats = jnp.concatenate(
+            [
+                feats,
+                jnp.zeros(
+                    (static_caps[0] - feats.shape[0], feats.shape[1]),
+                    feats.dtype,
+                ),
+            ],
+            axis=0,
+        )
     return feats, plans, out_coords, out_shape
+
+
+def default_static_caps(max_voxels: int = 120000) -> Tuple[int, ...]:
+    """Static voxel-cap schedule per sparse-encoder level for
+    `prepare_lidar_inputs(static_caps=...)`.
+
+    Level 0 = max_voxels. Stride-2 downsampling typically shrinks site
+    counts ~2-4x on lidar clouds but CAN grow them for isolated voxels (a
+    lone voxel reaches up to 8 stride-2 outputs), so the early levels stay
+    conservative; the final (1,1,2)-stride level halves. Exceeding a cap
+    raises in pad_rulebook — bump the schedule for denser clouds.
+    """
+    v = int(max_voxels)
+    return (v, v, (3 * v) // 4, v // 2, v // 2)

@@ -8,13 +8,15 @@ configs/nuscenes/default.yaml: AdamW lr 2e-4 wd 1e-2, grad clip 35,
 cyclic/one-cycle schedule approximated with cosine warmup-decay.
 
 The sparse-conv rulebooks are per-sample host artifacts with data-dependent
-sizes; the step jit-compiles per rulebook shape signature. `pad_rulebooks`
-in mobi_tpu/ops/sparse_conv handles bucketing when stable shapes are needed
-(see its docstring); for the small edited-scene finetunes this retrace cost
-is negligible next to the conv work.
+sizes; without padding the step would jit-compile per rulebook shape
+signature. `prepare_lidar_inputs(static_caps=default_static_caps(...))`
+pads plans and voxel features to fixed shapes so every cloud shares ONE
+compiled program — mandatory on TPU, where each retrace is a trip through
+the compile service.
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict, Optional, Tuple
 
 import jax
@@ -54,20 +56,23 @@ def detector_loss_fn(
     detector: BEVFusionDetector,
     params,
     batch: Dict,
+    out_shape: Tuple[int, int, int],
     loss_cfg: TransFusionLossConfig,
 ) -> Tuple[Array, Dict[str, Array]]:
     """One-sample loss: forward the detector, apply the TransFusion loss.
 
-    batch keys: voxel_feats, plans, out_coords, out_shape (lidar), plus
-    gt_boxes [1, G, 9] / gt_labels [1, G] / gt_mask [1, G], and the camera
-    inputs when detector.use_camera.
+    batch keys: voxel_feats, plans, out_coords (lidar), plus gt_boxes
+    [1, G, 9] / gt_labels [1, G] / gt_mask [1, G], and the camera inputs
+    when detector.use_camera. `out_shape` is the (static) dense BEV grid
+    shape — it sizes jnp.zeros inside the encoder, so it cannot ride
+    through the traced batch tree.
     """
     preds = detector.apply(
         {"params": params},
         batch["voxel_feats"],
         batch["plans"],
         batch["out_coords"],
-        batch["out_shape"],
+        out_shape,
         images=batch.get("images"),
         depth_map=batch.get("depth_map"),
         cam2lidar=batch.get("cam2lidar"),
@@ -84,15 +89,21 @@ def make_detector_train_step(
     tx: optax.GradientTransformation,
     loss_cfg: Optional[TransFusionLossConfig] = None,
 ) -> Callable:
+    """Jitted step(params, opt_state, batch, out_shape). Rulebooks in
+    batch["plans"] are pytree nodes (static n_in/n_out aux, index-array
+    children); feed STATICALLY-SHAPED plans from
+    `prepare_lidar_inputs(static_caps=...)` so successive clouds reuse one
+    compiled program. out_shape is a hashable static argument."""
     cfg = loss_cfg or TransFusionLossConfig(
         num_classes=detector.num_classes,
         num_proposals=detector.num_proposals,
     )
 
-    @jax.jit
-    def step(params, opt_state, batch):
+    @partial(jax.jit, static_argnames=("out_shape",))
+    def step(params, opt_state, batch, out_shape):
         (loss, metrics), grads = jax.value_and_grad(
-            lambda p: detector_loss_fn(detector, p, batch, cfg), has_aux=True
+            lambda p: detector_loss_fn(detector, p, batch, out_shape, cfg),
+            has_aux=True,
         )(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)

@@ -50,19 +50,25 @@ class Encoder(nn.Module):
     z_channels: int = 4
     double_z: bool = True
     lidar_adapter: bool = False
+    use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        # use_checkpoint -> flax remat per block (same pattern as
+        # unet.py ResBlock remat): VAE training at 512^2 does not fit HBM
+        # with stored activations. Param names/trees are unchanged.
+        res_cls = nn.remat(ResnetBlock) if self.use_checkpoint else ResnetBlock
+        attn_cls = nn.remat(AttnBlock) if self.use_checkpoint else AttnBlock
         if self.lidar_adapter:
             h = Conv2d(
                 self.ch, (1, 5), dtype=self.dtype, name="conv_in_lidar"
             )(x)
-            h = ResnetBlock(
+            h = res_cls(
                 self.ch, kernel_size=(1, 5), dtype=self.dtype,
                 name="res_block_lidar1",
             )(h)
-            h = ResnetBlock(
+            h = res_cls(
                 self.ch, kernel_size=(1, 5), dtype=self.dtype,
                 name="res_block_lidar2",
             )(h)
@@ -73,21 +79,21 @@ class Encoder(nn.Module):
         num_levels = len(self.ch_mult)
         for i_level, mult in enumerate(self.ch_mult):
             for i_block in range(self.num_res_blocks):
-                h = ResnetBlock(
+                h = res_cls(
                     self.ch * mult, dtype=self.dtype,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(
+                    h = attn_cls(
                         dtype=self.dtype, name=f"down_{i_level}_attn_{i_block}"
                     )(h)
             if i_level != num_levels - 1:
                 h = Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
 
-        h = ResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
+        h = res_cls(dtype=self.dtype, name="mid_block_1")(h)
+        h = attn_cls(dtype=self.dtype, name="mid_attn_1")(h)
+        h = res_cls(dtype=self.dtype, name="mid_block_2")(h)
 
         h = GroupNorm(dtype=self.dtype, name="norm_out")(h)
         h = swish(h)
@@ -105,27 +111,30 @@ class Decoder(nn.Module):
     resolution: int = 512
     z_channels: int = 4
     lidar_adapter: bool = False
+    use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, z: Array) -> Array:
+    def __call__(self, z: Array, return_prefinal: bool = False):
+        res_cls = nn.remat(ResnetBlock) if self.use_checkpoint else ResnetBlock
+        attn_cls = nn.remat(AttnBlock) if self.use_checkpoint else AttnBlock
         num_levels = len(self.ch_mult)
         block_in = self.ch * self.ch_mult[-1]
         curr_res = self.resolution // 2 ** (num_levels - 1)
 
         h = Conv2d(block_in, (3, 3), dtype=self.dtype, name="conv_in")(z)
-        h = ResnetBlock(dtype=self.dtype, name="mid_block_1")(h)
-        h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(dtype=self.dtype, name="mid_block_2")(h)
+        h = res_cls(dtype=self.dtype, name="mid_block_1")(h)
+        h = attn_cls(dtype=self.dtype, name="mid_attn_1")(h)
+        h = res_cls(dtype=self.dtype, name="mid_block_2")(h)
 
         for i_level in reversed(range(num_levels)):
             for i_block in range(self.num_res_blocks + 1):
-                h = ResnetBlock(
+                h = res_cls(
                     self.ch * self.ch_mult[i_level], dtype=self.dtype,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h)
                 if curr_res in self.attn_resolutions:
-                    h = AttnBlock(
+                    h = attn_cls(
                         dtype=self.dtype, name=f"up_{i_level}_attn_{i_block}"
                     )(h)
             if i_level != 0:
@@ -133,24 +142,29 @@ class Decoder(nn.Module):
                 curr_res *= 2
 
         if self.lidar_adapter:
-            h = ResnetBlock(
+            h = res_cls(
                 kernel_size=(1, 5), dtype=self.dtype, name="res_block_lidar1"
             )(h)
             # The extra norm+swish after res_block_lidar1 reproduces the
             # reference decoder exactly (model.py:617-618).
             h = GroupNorm(dtype=self.dtype, name="norm_out_lidar1")(h)
             h = swish(h)
-            h = ResnetBlock(
+            h = res_cls(
                 kernel_size=(1, 5), dtype=self.dtype, name="res_block_lidar2"
             )(h)
             h = GroupNorm(dtype=self.dtype, name="norm_out_lidar2")(h)
             h = swish(h)
+            pre = h
             h = Conv2d(self.out_ch, (1, 5), dtype=self.dtype, name="conv_out_lidar")(h)
         else:
             h = GroupNorm(dtype=self.dtype, name="norm_out")(h)
             h = swish(h)
+            pre = h
             h = Conv2d(self.out_ch, (3, 3), dtype=self.dtype, name="conv_out")(h)
-        return h
+        # prefinal = input to the final conv: GAN adaptive-weight training
+        # differentiates the loss w.r.t. ONLY the final kernel, which needs
+        # just this activation (see train_autoencoder.py)
+        return (h, pre) if return_prefinal else h
 
 
 class AutoencoderKL(nn.Module):
@@ -165,6 +179,7 @@ class AutoencoderKL(nn.Module):
     resolution: int = 512
     z_channels: int = 4
     lidar_adapter: bool = False
+    use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -177,6 +192,7 @@ class AutoencoderKL(nn.Module):
             z_channels=self.z_channels,
             double_z=True,
             lidar_adapter=self.lidar_adapter,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
         )
         self.decoder = Decoder(
@@ -188,6 +204,7 @@ class AutoencoderKL(nn.Module):
             resolution=self.resolution,
             z_channels=self.z_channels,
             lidar_adapter=self.lidar_adapter,
+            use_checkpoint=self.use_checkpoint,
             dtype=self.dtype,
         )
         self.quant_conv = Conv2d(2 * self.embed_dim, (1, 1), dtype=self.dtype)
@@ -198,9 +215,9 @@ class AutoencoderKL(nn.Module):
         moments = self.quant_conv(h)
         return DiagonalGaussian.from_moments(moments, channel_axis=-1)
 
-    def decode(self, z: Array) -> Array:
+    def decode(self, z: Array, return_prefinal: bool = False):
         z = self.post_quant_conv(z)
-        return self.decoder(z)
+        return self.decoder(z, return_prefinal)
 
     def __call__(self, x: Array, rng: jax.Array, sample_posterior: bool = True):
         posterior = self.encode(x)

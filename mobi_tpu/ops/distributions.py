@@ -15,6 +15,7 @@ import jax.numpy as jnp
 Array = jnp.ndarray
 
 
+@jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class DiagonalGaussian:
     mean: Array
@@ -25,6 +26,15 @@ class DiagonalGaussian:
         mean, logvar = jnp.split(moments, 2, axis=channel_axis)
         logvar = jnp.clip(logvar, -30.0, 20.0)
         return cls(mean=mean, logvar=logvar)
+
+    # pytree protocol: lets posteriors cross jit / checkpoint / scan
+    # boundaries (e.g. rematerialized VAE training steps)
+    def tree_flatten(self):
+        return (self.mean, self.logvar), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(mean=children[0], logvar=children[1])
 
     @property
     def std(self) -> Array:

@@ -34,6 +34,10 @@ class Rulebook:
     in_idx / out_idx: [K, P] padded index pairs per kernel offset (pad rows
     point at index n_in / n_out respectively and carry zero contribution).
     counts[k] = number of real pairs for offset k.
+
+    Registered as a jax pytree (index arrays are children, n_in/n_out are
+    static aux data) so plans can ride through jit/pjit argument trees —
+    the detector train step takes its per-cloud plans as part of the batch.
     """
 
     in_idx: np.ndarray     # int32 [K, P]
@@ -42,6 +46,48 @@ class Rulebook:
     out_coords: np.ndarray  # int32 [M, 3]
     n_in: int
     n_out: int
+
+
+jax.tree_util.register_pytree_node(
+    Rulebook,
+    lambda rb: (
+        (rb.in_idx, rb.out_idx, rb.counts, rb.out_coords),
+        (rb.n_in, rb.n_out),
+    ),
+    lambda aux, children: Rulebook(*children, n_in=aux[0], n_out=aux[1]),
+)
+
+
+def pad_rulebook(rb: Rulebook, pairs_to: int, out_to: int,
+                 n_in: int | None = None) -> Rulebook:
+    """Pad a rulebook to static shapes so successive clouds share one
+    compiled program (TPU: no per-step recompiles).
+
+    pairs_to: padded pair count P per kernel offset (pad rows keep pointing
+    at the zero-contribution rows). out_to: padded output-site count — extra
+    out_coords rows get a huge positive coordinate so the dense scatter
+    drops them (scatter mode="drop"; a negative sentinel would WRAP under
+    jnp's numpy-style indexing). n_in: padded input row count the gather will see
+    (defaults to rb.n_in; pass the padded feature row count).
+    """
+    K, p = rb.in_idx.shape
+    if pairs_to < p or out_to < rb.n_out:
+        raise ValueError(
+            f"pad_rulebook: caps (pairs_to={pairs_to}, out_to={out_to}) "
+            f"below actual (pairs={p}, n_out={rb.n_out}); raise the static "
+            "caps for this point-cloud density"
+        )
+    n_in = rb.n_in if n_in is None else int(n_in)
+    in_idx = np.full((K, pairs_to), n_in, np.int32)
+    out_idx = np.full((K, pairs_to), out_to, np.int32)
+    in_idx[:, :p] = np.where(rb.in_idx == rb.n_in, n_in, rb.in_idx)
+    out_idx[:, :p] = np.where(rb.out_idx == rb.n_out, out_to, rb.out_idx)
+    out_coords = np.full((out_to, 3), np.int32(2**30), np.int32)
+    out_coords[: rb.n_out] = rb.out_coords
+    return Rulebook(
+        in_idx=in_idx, out_idx=out_idx, counts=rb.counts,
+        out_coords=out_coords, n_in=n_in, n_out=out_to,
+    )
 
 
 def _hash_coords(coords: np.ndarray) -> Dict[Tuple[int, int, int], int]:

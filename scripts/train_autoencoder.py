@@ -62,6 +62,9 @@ def main(argv=None):
         z_channels=dd.get("z_channels", 4),
         out_ch=dd.get("out_ch", 2),
         lidar_adapter=dd.get("lidar_adapter", False),
+        # remat per block: the 512^2 GAN step stores ~65G of activations
+        # without it (measured on the v5e) — far beyond one chip's HBM
+        use_checkpoint=dd.get("use_checkpoint", True),
     )
     lossconfig = mp.get("lossconfig", {})
     loss_cfg = dict(lossconfig.get("params", {}))
@@ -120,38 +123,51 @@ def main(argv=None):
     opt_g = tx_g.init(vae_params)
     opt_d = tx_d.init(loss_params["discriminator"])
 
-    def recon(vp, batch_x, key):
-        posterior = vae.apply({"params": vp}, batch_x, method=vae.encode)
-        z = posterior.sample(key)
-        rec = vae.apply({"params": vp}, z, method=vae.decode)
-        return rec, posterior
-
-    def last_kernel(vp):
+    def last_conv(vp):
         dec = vp["decoder"]
         name = "conv_out_lidar" if "conv_out_lidar" in dec else "conv_out"
-        return dec[name]["Conv_0"]["kernel"]
+        return dec[name]["Conv_0"], name
 
     def g_loss_fn(vp, lp, batch_x, key, step):
-        rec, post = recon(vp, batch_x, key)
-        # adaptive weight: grads of nll and g w.r.t. the decoder's last kernel
+        posterior = vae.apply({"params": vp}, batch_x, method=vae.encode)
+        z = posterior.sample(key)
+        rec, h_pre = vae.apply({"params": vp}, z, True, method=vae.decode)
+
+        # Adaptive disc weight (reference autoencoder.py:116-124): grads of
+        # the nll and gan losses w.r.t. the decoder's LAST kernel. The loss
+        # depends on that kernel only through the final conv, whose input
+        # h_pre is constant w.r.t. it — so replaying just the final conv on
+        # a stop-gradiented h_pre reproduces torch's
+        # autograd.grad(loss, last_layer) EXACTLY without re-running the
+        # decoder (the earlier full-recon formulation cost two extra decoder
+        # passes and pushed the 512 GAN step past one chip's HBM).
+        h_sg = jax.lax.stop_gradient(h_pre)
+        post_sg = jax.tree_util.tree_map(
+            jax.lax.stop_gradient, posterior
+        )
+        conv, name = last_conv(vp)
+        bias_sg = jax.lax.stop_gradient(conv["bias"])
+
+        def rec_of_kernel(k):
+            out = jax.lax.conv_general_dilated(
+                h_sg, k, window_strides=(1, 1), padding="SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return out + bias_sg
+
         def nll_of_kernel(k):
-            vp2 = jax.tree_util.tree_map(lambda x: x, vp)
-            dec = dict(vp2["decoder"])
-            name = "conv_out_lidar" if "conv_out_lidar" in dec else "conv_out"
-            dec[name] = {**dec[name], "Conv_0": {**dec[name]["Conv_0"], "kernel": k}}
-            vp2 = {**vp2, "decoder": dec}
-            rec2, post2 = recon(vp2, batch_x, key)
-            nll, _, _ = loss.nll_and_kl(lp, batch_x, rec2, post2)
+            rec2 = rec_of_kernel(k)
+            nll, _, _ = loss.nll_and_kl(lp, batch_x, rec2, post_sg)
             logits_fake = loss.discriminator.apply(
                 {"params": lp["discriminator"]}, rec2
             )
             return nll, -jnp.mean(logits_fake)
 
-        k0 = last_kernel(vp)
+        k0 = conv["kernel"]
         nll_g = jax.grad(lambda k: nll_of_kernel(k)[0])(k0)
         gan_g = jax.grad(lambda k: nll_of_kernel(k)[1])(k0)
         total, log = loss.generator_loss(
-            lp, batch_x, rec, post, step, last_layer_grads=(nll_g, gan_g)
+            lp, batch_x, rec, posterior, step, last_layer_grads=(nll_g, gan_g)
         )
         return total, (log, rec)
 
@@ -159,7 +175,12 @@ def main(argv=None):
         lp2 = {**lp, "discriminator": dp}
         return loss.discriminator_loss(lp2, batch_x, rec, step)
 
-    @jax.jit
+    # donate the four state trees: without donation the input and output
+    # params/optimizer coexist across the step boundary (the same ~2G that
+    # pushed the 512 GAN step over one chip's HBM)
+    from functools import partial
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2, 3))
     def train_step(vp, lp, og, od, batch_x, key, step):
         (gl, (log, rec)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
             vp, lp, batch_x, key, step

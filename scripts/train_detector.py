@@ -56,6 +56,7 @@ def main():
     from mobi_tpu.data.detection_dataset import DetectionSceneDataset
     from mobi_tpu.models.bevfusion import (
         BEVFusionDetector,
+        default_static_caps,
         prepare_lidar_inputs,
     )
     from mobi_tpu.models.detector_training import (
@@ -85,20 +86,21 @@ def main():
     tx = make_detector_optimizer(args.lr, total_steps=args.max_steps)
     step_fn = make_detector_train_step(detector, tx)
 
+    static_caps = default_static_caps(args.max_voxels)
+
     def make_batch(i):
         rec = dataset.tables.sample_record(dataset._samples[i % len(dataset)])
         ex = train_pipeline(
             rec, NUSC_CLASSES, rng, sweeps_num=args.sweeps, sampler=sampler
         )
         feats, plans, out_coords, out_shape = prepare_lidar_inputs(
-            ex["points"], max_voxels=args.max_voxels
+            ex["points"], max_voxels=args.max_voxels, static_caps=static_caps
         )
         b, l, m = pad_gt(ex["gt_bboxes_3d"], ex["gt_labels_3d"], args.max_gt)
         batch = {
             "voxel_feats": feats,
             "plans": plans,
             "out_coords": out_coords,
-            "out_shape": out_shape,
             "gt_boxes": b[None],
             "gt_labels": l[None],
             "gt_mask": m[None],
@@ -112,14 +114,14 @@ def main():
                 )[None].astype(np.float32),
                 intrins=full["camera_intrinsics"][None].astype(np.float32),
             )
-        return batch
+        return batch, out_shape
 
     print(f"initializing detector params ({len(dataset)} samples)")
-    b0 = make_batch(0)
+    b0, out_shape = make_batch(0)
     with jax.default_device(jax.devices("cpu")[0]):
         params = detector.init(
             jax.random.PRNGKey(args.seed),
-            b0["voxel_feats"], b0["plans"], b0["out_coords"], b0["out_shape"],
+            b0["voxel_feats"], b0["plans"], b0["out_coords"], out_shape,
             images=b0.get("images"), depth_map=b0.get("depth_map"),
             cam2lidar=b0.get("cam2lidar"), intrins=b0.get("intrins"),
         )["params"]
@@ -128,8 +130,8 @@ def main():
     metrics_path = os.path.join(args.logdir, "metrics.jsonl")
     t0 = time.time()
     for step in range(1, args.max_steps + 1):
-        batch = make_batch(step)
-        params, opt_state, m = step_fn(params, opt_state, batch)
+        batch, out_shape = make_batch(step)
+        params, opt_state, m = step_fn(params, opt_state, batch, out_shape)
         if step % 10 == 0:
             m = {k: float(v) for k, v in m.items()}
             m.update(step=step, wall_s=time.time() - t0)

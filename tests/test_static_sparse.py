@@ -1,0 +1,173 @@
+"""Static-shape sparse-conv plans (TPU jit stability).
+
+pad_rulebook / plan_sparse_encoder(static_caps=...) pad per-cloud rulebooks
+and voxel features to fixed shapes so successive point clouds share ONE
+compiled program — on TPU a retrace per cloud means a trip through the
+remote compile service per step. These tests pin:
+  * padded rulebooks reproduce unpadded numerics exactly,
+  * Rulebook rides through jit as a pytree (static n_in/n_out aux),
+  * two clouds of different density produce identically-shaped inputs and
+    the jitted detector train step compiles exactly once,
+reference semantics: bevfusion spconv indice_pairs (ops/spconv/src/indice.cc)
+padded to static shapes — a design choice the CUDA reference doesn't need.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mobi_tpu.models.bevfusion import (
+    BEVFusionDetector,
+    SparseEncoderTPU,
+    plan_sparse_encoder,
+    prepare_lidar_inputs,
+)
+from mobi_tpu.models.detector_training import (
+    make_detector_optimizer,
+    make_detector_train_step,
+    pad_gt,
+)
+from mobi_tpu.ops.sparse_conv import (
+    Rulebook,
+    build_rulebook,
+    pad_rulebook,
+    sparse_conv_apply,
+)
+
+GRID = (64, 64, 41)
+
+
+def _coords(rng, n, grid=GRID):
+    c = np.unique(
+        np.stack(
+            [rng.integers(0, g, n) for g in grid], axis=1
+        ),
+        axis=0,
+    )
+    return c.astype(np.int64)
+
+
+def test_pad_rulebook_matches_unpadded():
+    rng = np.random.default_rng(0)
+    coords = _coords(rng, 300)
+    n = len(coords)
+    rb = build_rulebook(coords, (3, 3, 3), submanifold=True)
+    f = jnp.asarray(rng.normal(size=(n, 8)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(27, 8, 16)).astype(np.float32))
+    ref = sparse_conv_apply(f, w, rb)
+
+    n_cap, out_cap = n + 37, n + 11
+    rbp = pad_rulebook(rb, pairs_to=rb.in_idx.shape[1] + 5, out_to=out_cap,
+                       n_in=n_cap)
+    f_pad = jnp.concatenate([f, jnp.zeros((n_cap - n, 8), f.dtype)], axis=0)
+    out = sparse_conv_apply(f_pad, w, rbp)
+    np.testing.assert_allclose(np.asarray(out[:n]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # pad output rows carry zero contribution
+    assert float(jnp.abs(out[n:]).max()) == 0.0
+
+
+def test_pad_rulebook_rejects_too_small_caps():
+    coords = _coords(np.random.default_rng(1), 100)
+    rb = build_rulebook(coords, (3, 3, 3), submanifold=True)
+    with pytest.raises(ValueError, match="static caps"):
+        pad_rulebook(rb, pairs_to=1, out_to=rb.n_out + 1)
+
+
+def test_rulebook_rides_through_jit():
+    coords = _coords(np.random.default_rng(2), 50)
+    rb = build_rulebook(coords, (3, 3, 3), submanifold=True)
+    f = jnp.ones((len(coords), 4))
+    w = jnp.ones((27, 4, 4))
+
+    @jax.jit
+    def step(f, batch):
+        return sparse_conv_apply(f, w, batch["plans"]["subm0"]).sum()
+
+    eager = sparse_conv_apply(f, w, rb).sum()
+    np.testing.assert_allclose(
+        float(step(f, {"plans": {"subm0": rb}})), float(eager), rtol=1e-5
+    )
+
+
+# uniform random clouds GROW through stride-2 (a lone voxel reaches up to 8
+# outputs), unlike real lidar surfaces which shrink — size caps generously
+CAPS = (1600, 6000, 8000, 8000, 8000)
+
+
+def _cloud(seed, n):
+    rng = np.random.default_rng(seed)
+    return np.concatenate(
+        [rng.uniform(-4.7, 4.7, (n, 2)), rng.uniform(-4.9, 2.9, (n, 1)),
+         rng.uniform(0, 1, (n, 2))], axis=1,
+    ).astype(np.float32)
+
+
+def _prep(pts, static_caps=None):
+    return prepare_lidar_inputs(
+        pts, voxel_size=(0.15, 0.15, 0.2),
+        pc_range=(-4.8, -4.8, -5, 4.8, 4.8, 3.2),
+        max_voxels=CAPS[0], static_caps=static_caps,
+    )
+
+
+def test_static_caps_shapes_identical_across_clouds():
+    a = _prep(_cloud(3, 900), static_caps=CAPS)
+    b = _prep(_cloud(4, 1500), static_caps=CAPS)
+    sa = jax.tree.map(lambda x: jnp.shape(x), a[:3])
+    sb = jax.tree.map(lambda x: jnp.shape(x), b[:3])
+    assert jax.tree_util.tree_structure(sa) == jax.tree_util.tree_structure(sb)
+    assert jax.tree.leaves(sa) == jax.tree.leaves(sb)
+    assert a[3] == b[3]  # out_shape
+
+
+def test_static_caps_encoder_numerics_match_unpadded():
+    pts = _cloud(5, 1000)
+    feats, plans, out_coords, out_shape = _prep(pts)
+    featsP, plansP, out_coordsP, out_shapeP = _prep(pts, static_caps=CAPS)
+    assert out_shape == out_shapeP
+
+    enc = SparseEncoderTPU()
+    params = enc.init(jax.random.PRNGKey(0), feats, plans, out_coords,
+                      out_shape)
+    dense = enc.apply(params, feats, plans, out_coords, out_shape)
+    denseP = enc.apply(params, featsP, plansP, out_coordsP, out_shapeP)
+    np.testing.assert_allclose(
+        np.asarray(denseP), np.asarray(dense), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_detector_train_step_compiles_once_across_clouds():
+    det = BEVFusionDetector(use_camera=False, num_proposals=16)
+    tx = make_detector_optimizer(1e-3, total_steps=0)
+    step = make_detector_train_step(det, tx)
+
+    batches = []
+    for seed, n in ((6, 900), (7, 1500)):
+        feats, plans, out_coords, out_shape = _prep(_cloud(seed, n),
+                                                    static_caps=CAPS)
+        boxes = np.array([[1.0, 0.5, -1.0, 3.9, 1.7, 1.5, 0.2, 0.0, 0.0]],
+                         np.float32)
+        b, l, m = pad_gt(boxes, np.zeros((1,), np.int64), 8)
+        batches.append((
+            {
+                "voxel_feats": feats, "plans": plans,
+                "out_coords": out_coords,
+                "gt_boxes": b[None], "gt_labels": l[None], "gt_mask": m[None],
+            },
+            out_shape,
+        ))
+
+    params = det.init(
+        jax.random.PRNGKey(0), batches[0][0]["voxel_feats"],
+        batches[0][0]["plans"], batches[0][0]["out_coords"], batches[0][1],
+    )["params"]
+    opt_state = tx.init(params)
+
+    losses = []
+    for batch, out_shape in batches:
+        params, opt_state, m = step(params, opt_state, batch, out_shape)
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(losses))
+    # identical static shapes -> ONE compiled executable for both clouds
+    assert step._cache_size() == 1
