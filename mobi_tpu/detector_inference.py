@@ -148,7 +148,7 @@ def run_detector(
     from mobi_tpu.models.bevfusion import (
         BEVFusionDetector,
         build_sparse_depth_map,
-        default_static_caps,
+        calibrate_static_caps,
         prepare_lidar_inputs,
     )
 
@@ -160,8 +160,14 @@ def run_detector(
         load_images=use_camera, sweeps_num=sweeps_num,
     )
 
-    # static plan shapes -> the jitted forward compiles once for all clouds
-    static_caps = default_static_caps()
+    # static plan shapes -> the jitted forward compiles once for all
+    # clouds; caps derived from the first few eval clouds so the plan is
+    # robust to this dataset's density (margin absorbs the rest; a denser
+    # outlier raises with a clear bump-the-caps message)
+    n_total = len(ds) if max_samples is None else min(len(ds), max_samples)
+    static_caps = calibrate_static_caps(
+        ds[i]["points"] for i in range(min(8, n_total))
+    )
 
     @partial(jax.jit, static_argnames=("out_shape",))
     def forward(params, feats, plans, out_coords, out_shape, **kw):

@@ -795,6 +795,56 @@ def prepare_lidar_inputs(
     return feats, plans, out_coords, out_shape
 
 
+def calibrate_static_caps(
+    point_clouds,
+    voxel_size=(0.075, 0.075, 0.2),
+    pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+    max_points: int = 10,
+    max_voxels: int = 120000,
+    margin: float = 1.25,
+    multiple: int = 1024,
+) -> Tuple[int, ...]:
+    """Derive per-level static caps from sample clouds.
+
+    Voxelizes each cloud and runs the UNCAPPED sparse-encoder plan,
+    tracking the per-level site-count maxima (input voxels, after each
+    stride-2 transition, after conv_out). Returns maxima * margin rounded
+    up to `multiple` — feed to `prepare_lidar_inputs(static_caps=...)`.
+
+    `default_static_caps` hard-codes a contraction schedule measured on
+    real lidar (surface-like clouds shrink 2-4x per stride-2 level);
+    sparser or noisier distributions can EXPAND at transitions (an
+    isolated voxel reaches up to 8 stride-2 outputs), so data-derived
+    caps are the robust route when the cloud statistics are unknown.
+    """
+    from mobi_tpu import native
+
+    grid = tuple(
+        int(round((pc_range[i + 3] - pc_range[i]) / voxel_size[i]))
+        for i in range(3)
+    )
+    n_levels = len(ENCODER_STAGES) + 1
+    maxima = [0] * n_levels
+    for pts in point_clouds:
+        _, coords, _ = native.hard_voxelize(
+            np.asarray(pts), voxel_size, pc_range, max_points=max_points,
+            max_voxels=max_voxels,
+        )
+        plans, out_coords, _ = plan_sparse_encoder(coords, grid)
+        maxima[0] = max(maxima[0], len(coords))
+        for i in range(len(ENCODER_STAGES) - 1):
+            maxima[i + 1] = max(maxima[i + 1], plans[f"down{i}"].n_out)
+        maxima[-1] = max(maxima[-1], len(out_coords))
+
+    def up(v):
+        return max(int(np.ceil(v * margin / multiple)) * multiple, multiple)
+
+    caps = [up(v) for v in maxima]
+    # level 0 rows are bounded by the voxelizer itself; don't pad past it
+    caps[0] = min(caps[0], max_voxels)
+    return tuple(caps)
+
+
 def default_static_caps(max_voxels: int = 120000) -> Tuple[int, ...]:
     """Static voxel-cap schedule per sparse-encoder level for
     `prepare_lidar_inputs(static_caps=...)`.

@@ -41,6 +41,9 @@ def main():
                    help="train the camera+lidar fusion variant")
     p.add_argument("--gt-db", default=None,
                    help="gt_db_infos.pkl for paste augmentation")
+    p.add_argument("--calibrate", type=int, default=8,
+                   help="derive static voxel caps from this many sample "
+                        "clouds (0 = use default_static_caps)")
     p.add_argument("--save-every", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -56,6 +59,7 @@ def main():
     from mobi_tpu.data.detection_dataset import DetectionSceneDataset
     from mobi_tpu.models.bevfusion import (
         BEVFusionDetector,
+        calibrate_static_caps,
         default_static_caps,
         prepare_lidar_inputs,
     )
@@ -86,7 +90,26 @@ def main():
     tx = make_detector_optimizer(args.lr, total_steps=args.max_steps)
     step_fn = make_detector_train_step(detector, tx)
 
-    static_caps = default_static_caps(args.max_voxels)
+    if args.calibrate > 0:
+        # data-derived caps: real lidar contracts ~2-4x per stride-2 level
+        # (default_static_caps' schedule) but other distributions can
+        # expand at transitions; calibration makes the static plan robust
+        # to whatever this dataset actually contains.
+        n_cal = min(args.calibrate, len(dataset))
+        cal_clouds = [
+            train_pipeline(
+                dataset.tables.sample_record(dataset._samples[i]),
+                NUSC_CLASSES, np.random.default_rng(args.seed + i),
+                sweeps_num=args.sweeps, sampler=sampler,
+            )["points"]
+            for i in range(n_cal)
+        ]
+        static_caps = calibrate_static_caps(
+            cal_clouds, max_voxels=args.max_voxels
+        )
+        print(f"calibrated static caps from {n_cal} clouds: {static_caps}")
+    else:
+        static_caps = default_static_caps(args.max_voxels)
 
     def make_batch(i):
         rec = dataset.tables.sample_record(dataset._samples[i % len(dataset)])

@@ -53,6 +53,34 @@ def test_hungarian_assign_simple():
     assert (match == -1).sum() == 2
 
 
+def test_hungarian_device_matches_scipy_optimum():
+    """The on-device LAPJV solver must reach scipy's optimal total cost on
+    random rectangular problems (assignments may tie-differ), including
+    under vmap (the per-batch path in transfusion_loss)."""
+    import jax
+    from scipy.optimize import linear_sum_assignment
+
+    rng = np.random.default_rng(7)
+    for _ in range(10):
+        P = int(rng.integers(5, 50))
+        G = int(rng.integers(1, min(P, 33)))
+        cost = rng.normal(size=(P, G)).astype(np.float32)
+        m = np.asarray(jax.jit(hungarian_assign)(jnp.asarray(cost)))
+        sel = m >= 0
+        assert sel.sum() == G and len(set(m[sel])) == G
+        dev_total = cost[np.where(sel)[0], m[sel]].sum()
+        ref_total = cost[linear_sum_assignment(cost)].sum()
+        assert abs(dev_total - ref_total) < 1e-4
+
+    costs = rng.normal(size=(3, 16, 6)).astype(np.float32)
+    vm = np.asarray(jax.jit(jax.vmap(hungarian_assign))(jnp.asarray(costs)))
+    for b in range(3):
+        sel = vm[b] >= 0
+        dev_total = costs[b][np.where(sel)[0], vm[b][sel]].sum()
+        ref_total = costs[b][linear_sum_assignment(costs[b])].sum()
+        assert abs(dev_total - ref_total) < 1e-4
+
+
 def test_gaussian_radius_monotone():
     small = gaussian_radius(jnp.asarray([2.0, 2.0]), 0.1)
     big = gaussian_radius(jnp.asarray([10.0, 10.0]), 0.1)

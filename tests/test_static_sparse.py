@@ -171,3 +171,23 @@ def test_detector_train_step_compiles_once_across_clouds():
     assert all(np.isfinite(losses))
     # identical static shapes -> ONE compiled executable for both clouds
     assert step._cache_size() == 1
+
+
+def test_calibrate_static_caps_covers_expanding_clouds():
+    """Uniform-random clouds EXPAND at stride-2 transitions (isolated
+    voxels reach up to 8 outputs) — calibration must return caps that the
+    same clouds then fit under, where a contraction schedule would raise."""
+    from mobi_tpu.models.bevfusion import calibrate_static_caps
+
+    clouds = [_cloud(s, 1200) for s in range(3)]
+    caps = calibrate_static_caps(
+        clouds, voxel_size=(0.15, 0.15, 0.2),
+        pc_range=(-4.8, -4.8, -5, 4.8, 4.8, 3.2),
+        max_voxels=1600, multiple=256,
+    )
+    assert len(caps) == 5 and caps[0] <= 1600
+    shapes = set()
+    for pts in clouds:
+        feats, plans, out_coords, out_shape = _prep(pts, static_caps=caps)
+        shapes.add((feats.shape, out_coords.shape, out_shape))
+    assert len(shapes) == 1
