@@ -769,10 +769,15 @@ def prepare_lidar_inputs(
         max_voxels=max_voxels,
     )
     feats = hard_simple_vfe(jnp.asarray(voxels), jnp.asarray(npv))
-    grid = tuple(
+    nx, ny, nz = (
         int(round((pc_range[i + 3] - pc_range[i]) / voxel_size[i]))
         for i in range(3)
     )
+    # the reference's sparse_shape pads z by ONE over the voxel grid
+    # ([1440, 1440, 41] vs grid z 40, det config swint_v0p075/default.yaml)
+    # so the encoder's z-ladder ends at depth 2 and the dense lidar BEV is
+    # 2*128 = 256 channels — required for checkpoint-imported fuser parity
+    grid = (nx, ny, nz + 1)
     plans, out_coords, out_shape = plan_sparse_encoder(
         coords, grid, static_caps=static_caps
     )
@@ -819,10 +824,11 @@ def calibrate_static_caps(
     """
     from mobi_tpu import native
 
-    grid = tuple(
+    nx, ny, nz = (
         int(round((pc_range[i + 3] - pc_range[i]) / voxel_size[i]))
         for i in range(3)
     )
+    grid = (nx, ny, nz + 1)  # z+1, matching prepare_lidar_inputs
     n_levels = len(ENCODER_STAGES) + 1
     maxima = [0] * n_levels
     for pts in point_clouds:
