@@ -133,6 +133,8 @@ def run_detector(
     box_convention: str = "second",
     max_samples: Optional[int] = None,
     score_threshold: float = 0.05,
+    voxel_size=(0.075, 0.075, 0.2),
+    pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
 ) -> str:
     """Load a reference-format detector checkpoint, run it over the dataset
     (lidar-only by default; camera fusion when `use_camera`), and write a
@@ -154,7 +156,11 @@ def run_detector(
 
     sd = load_torch_checkpoint(checkpoint)
     params = import_bevfusion(sd, use_camera=use_camera)
-    model = BEVFusionDetector(use_camera=use_camera)
+    model = BEVFusionDetector(
+        use_camera=use_camera,
+        head_kwargs=dict(voxel_size=tuple(voxel_size[:2]),
+                         pc_range=tuple(pc_range[:2])),
+    )
     ds = DetectionSceneDataset(
         dataroot, version, edited_samples_path=edited_samples_path,
         load_images=use_camera, sweeps_num=sweeps_num,
@@ -166,7 +172,8 @@ def run_detector(
     # outlier raises with a clear bump-the-caps message)
     n_total = len(ds) if max_samples is None else min(len(ds), max_samples)
     static_caps = calibrate_static_caps(
-        ds[i]["points"] for i in range(min(8, n_total))
+        (ds[i]["points"] for i in range(min(8, n_total))),
+        voxel_size=voxel_size, pc_range=pc_range,
     )
 
     @partial(jax.jit, static_argnames=("out_shape",))
@@ -181,7 +188,8 @@ def run_detector(
     for i in range(n):
         ex = ds[i]
         feats, plans, out_coords, out_shape = prepare_lidar_inputs(
-            ex["points"], static_caps=static_caps
+            ex["points"], voxel_size=voxel_size, pc_range=pc_range,
+            static_caps=static_caps,
         )
         kwargs = {}
         if use_camera:

@@ -345,6 +345,27 @@ def import_transfusion_head(sd: Dict, prefix: str,
     return p
 
 
+def _identity_fuser(channels: int = 256, eps: float = 1e-3) -> Params:
+    """Exact-identity ConvFuser params: 3x3 delta kernel + BN whose scale
+    compensates the eps so (x - 0) * rsqrt(1 + eps) * scale == x. The
+    trailing ReLU is a no-op because the sparse encoder's dense BEV is
+    post-ReLU (conv_out, sparse_encoder.py:128). Used when importing the
+    reference's lidar-only assembly, which has NO fuser module
+    (fusion_models/bevfusion.py fuses only with >1 modality) while
+    BEVFusionDetector always applies one."""
+    k = np.zeros((3, 3, channels, channels), np.float32)
+    k[1, 1] = np.eye(channels, dtype=np.float32)
+    return {
+        "fuse": {
+            "conv": {"kernel": k},
+            "bn_scale": np.full(channels, np.sqrt(1.0 + eps), np.float32),
+            "bn_bias": np.zeros(channels, np.float32),
+            "bn_mean": np.zeros(channels, np.float32),
+            "bn_var": np.ones(channels, np.float32),
+        }
+    }
+
+
 def import_bevfusion(sd: Dict, use_camera: bool = True) -> Params:
     """Full reference detector state dict -> BEVFusionDetector params."""
     sd = {k: np.asarray(v) for k, v in sd.items()}
@@ -354,7 +375,12 @@ def import_bevfusion(sd: Dict, use_camera: bool = True) -> Params:
         p["camera_neck"] = import_lss_fpn(sd, "encoders.camera.neck.")
         p["vtransform"] = import_depth_lss(sd, "encoders.camera.vtransform.")
     p["lidar_encoder"] = import_sparse_encoder(sd, "encoders.lidar.backbone.")
-    p["fuser"] = import_fuser(sd, "fuser.")
+    if "fuser.0.weight" not in sd:
+        p["fuser"] = _identity_fuser()
+    else:
+        p["fuser"] = import_fuser(
+            sd, "fuser.", camera_channels=80 if use_camera else 0
+        )
     p["backbone"] = import_second(sd, "decoder.backbone.")
     p["neck"] = import_second_fpn(sd, "decoder.neck.")
     p["head"] = import_transfusion_head(sd, "heads.object.")

@@ -526,8 +526,9 @@ class TransFusionHeadTPU(nn.Module):
       decoder (self + BEV cross attention with learned pos embeddings) ->
       per-quantity FFN heads; box decoding per TransFusionBBoxCoder.
 
-    Training losses (Hungarian matching + focal/L1) are staged for a later
-    round; this provides the eval path producing boxes for DetectionEval.
+    This module is the eval path producing boxes for DetectionEval; the
+    training losses (Hungarian matching + focal/L1) live in
+    mobi_tpu.models.transfusion_loss / detector_training.
     """
 
     num_classes: int = 10
@@ -693,6 +694,7 @@ class BEVFusionDetector(nn.Module):
     camera_out: int = 80
     fuse_channels: int = 256
     lss_kwargs: Optional[Dict] = None
+    head_kwargs: Optional[Dict] = None  # e.g. voxel_size/pc_range overrides
 
     def setup(self):
         from mobi_tpu.models.swin import GeneralizedLSSFPN, SwinTransformerTPU
@@ -709,7 +711,8 @@ class BEVFusionDetector(nn.Module):
         self.backbone = SECONDBackbone()
         self.neck = SECONDFPN()
         self.head = TransFusionHeadTPU(
-            num_classes=self.num_classes, num_proposals=self.num_proposals
+            num_classes=self.num_classes, num_proposals=self.num_proposals,
+            **(self.head_kwargs or {}),
         )
 
     def __call__(
@@ -741,8 +744,16 @@ class BEVFusionDetector(nn.Module):
         x = self.neck(self.backbone(x))
         return self.head(x)
 
+    @nn.nowrap
     def decode(self, preds: Dict[str, Array]) -> Dict[str, Array]:
-        return self.head.decode_boxes(preds)
+        # decode_boxes is pure math over config fields; build the module
+        # directly (nowrap: outside the flax method-wrapping machinery) so
+        # decode works OUTSIDE init/apply, where setup attributes like
+        # self.head don't exist
+        return TransFusionHeadTPU(
+            num_classes=self.num_classes, num_proposals=self.num_proposals,
+            **(self.head_kwargs or {}),
+        ).decode_boxes(preds)
 
 
 def prepare_lidar_inputs(
