@@ -164,13 +164,17 @@ def test_detector_train_step_compiles_once_across_clouds():
     )["params"]
     opt_state = tx.init(params)
 
-    losses = []
-    for batch, out_shape in batches:
-        params, opt_state, m = step(params, opt_state, batch, out_shape)
-        losses.append(float(m["loss"]))
-    assert all(np.isfinite(losses))
-    # identical static shapes -> ONE compiled executable for both clouds
-    assert step._cache_size() == 1
+    batch0, oshape0 = batches[0]
+    params, opt_state, m0 = step(params, opt_state, batch0, oshape0)
+    size_after_first = step._cache_size()
+    batch1, oshape1 = batches[1]
+    params, opt_state, m1 = step(params, opt_state, batch1, oshape1)
+    assert np.isfinite(float(m0["loss"])) and np.isfinite(float(m1["loss"]))
+    # identical static shapes -> the second cloud reuses the first cloud's
+    # executable, adding NO cache entry. (Don't assert an absolute count:
+    # jax's cpp-jit cache is a GLOBAL LRU, so entries from this function
+    # can be evicted by the rest of the suite's compilations.)
+    assert step._cache_size() == size_after_first
 
 
 def test_calibrate_static_caps_covers_expanding_clouds():
