@@ -40,7 +40,9 @@ from mobi_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
 
-BATCH_PAIRS = 4        # (camera, lidar) pairs per device batch
+# (camera, lidar) pairs per device batch; 4 is the headline config —
+# MOBI_BENCH_BATCH_PAIRS overrides for batch-scaling A/Bs
+BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "4"))
 STEPS = 50
 GUIDANCE = 5.0
 TARGET_PER_HOUR = 1000.0

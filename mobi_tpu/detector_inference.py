@@ -135,6 +135,7 @@ def run_detector(
     score_threshold: float = 0.05,
     voxel_size=(0.075, 0.075, 0.2),
     pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+    verbose: bool = False,
 ) -> str:
     """Load a reference-format detector checkpoint, run it over the dataset
     (lidar-only by default; camera fusion when `use_camera`), and write a
@@ -185,7 +186,10 @@ def run_detector(
 
     results: Dict[str, List[dict]] = {}
     n = len(ds) if max_samples is None else min(len(ds), max_samples)
+    import time
+
     for i in range(n):
+        t0 = time.time()
         ex = ds[i]
         feats, plans, out_coords, out_shape = prepare_lidar_inputs(
             ex["points"], voxel_size=voxel_size, pc_range=pc_range,
@@ -213,6 +217,12 @@ def run_detector(
             decoded, ex["sample_token"], rec["lidar2global"],
             box_convention=box_convention, score_threshold=score_threshold,
         )
+        if verbose:
+            print(
+                f"# sample {i + 1}/{n}: {time.time() - t0:.2f}s "
+                f"({len(results[ex['sample_token']])} boxes)",
+                flush=True,
+            )
 
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:

@@ -49,6 +49,8 @@ def main(argv=None):
                    help="run the camera+lidar fusion model (default "
                         "lidar-only)")
     p.add_argument("--max-samples", type=int, default=None)
+    p.add_argument("--verbose-inference", action="store_true",
+                   help="print per-sample inference timing")
     args = p.parse_args(argv)
 
     if args.checkpoint:
@@ -59,7 +61,7 @@ def main(argv=None):
             version=args.version,
             edited_samples_path=args.edited_samples_path,
             sweeps_num=args.sweeps_num, use_camera=args.use_camera,
-            max_samples=args.max_samples,
+            max_samples=args.max_samples, verbose=args.verbose_inference,
         )
 
     from mobi_tpu.data.nuscenes_tables import NuScenesTables
