@@ -42,7 +42,7 @@ import numpy as np
 
 # (camera, lidar) pairs per device batch; 4 is the headline config —
 # MOBI_BENCH_BATCH_PAIRS overrides for batch-scaling A/Bs
-BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "4"))
+BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "8"))
 STEPS = 50
 GUIDANCE = 5.0
 TARGET_PER_HOUR = 1000.0
