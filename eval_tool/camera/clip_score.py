@@ -49,10 +49,15 @@ def main():
 
     sd = load_torch_checkpoint(args.weights)
     params, proj = import_clip_b32(sd)
+    # device-put ONCE and pass as jit arguments — closing over the numpy
+    # tree would bake ~350 MB of weight constants into the HLO (and blow
+    # the remote compile service's request-size limit on the TPU runtime)
+    params = jax.device_put(params)
+    proj = jax.device_put(proj)
     net = ClipImageEmbedder()
 
     @jax.jit
-    def embed(x):
+    def embed(params, proj, x):
         pooled = net.apply({"params": params}, x)
         feats = pooled @ proj
         return feats / jnp.linalg.norm(feats, axis=-1, keepdims=True)
@@ -62,8 +67,10 @@ def main():
     assert len(rfiles) == len(pfiles)
     sims = []
     for i in range(0, len(rfiles), args.batch_size):
-        a = embed(jnp.asarray(load_batch(rfiles[i : i + args.batch_size])))
-        b = embed(jnp.asarray(load_batch(pfiles[i : i + args.batch_size])))
+        a = embed(params, proj,
+                  jnp.asarray(load_batch(rfiles[i : i + args.batch_size])))
+        b = embed(params, proj,
+                  jnp.asarray(load_batch(pfiles[i : i + args.batch_size])))
         sims.append(np.asarray((a * b).sum(-1)))
     print(f"CLIP score: {float(np.concatenate(sims).mean()) * 100:.2f}")
 

@@ -56,7 +56,8 @@ def main():
         load_torch_checkpoint(args.alexnet_weights),
     )
     net = LPIPS()
-    apply = jax.jit(lambda x, y: net.apply(params, x, y))
+    params = jax.device_put(params)  # jit arg, not a baked-in HLO constant
+    apply = jax.jit(lambda p, x, y: net.apply(p, x, y))
 
     tfiles = list_images(args.path_target)
     pfiles = list_images(args.path_pred)
@@ -65,7 +66,7 @@ def main():
     for i in range(0, len(tfiles), args.batch_size):
         a = jnp.asarray(load_batch(tfiles[i : i + args.batch_size]))
         b = jnp.asarray(load_batch(pfiles[i : i + args.batch_size]))
-        dists.append(np.asarray(apply(a, b)))
+        dists.append(np.asarray(apply(params, a, b)))
     print(f"LPIPS: {float(np.concatenate(dists).mean()):.4f}")
 
 

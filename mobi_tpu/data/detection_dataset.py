@@ -41,13 +41,27 @@ class DetectionSceneDataset:
         load_images: bool = True,
         max_points: Optional[int] = None,
         sweeps_num: int = 0,
+        image_size: Optional[tuple] = None,
+        image_resize: Optional[float] = None,
     ):
+        """image_size: when set (e.g. (256, 704), the production detector
+        input), every view is deterministically resized + cropped via
+        `det_pipeline.image_aug_3d(is_train=False)` — the eval half of the
+        reference's ImageAug3D (transforms_3d.py:31-128; eval resize 0.48 in
+        the swint det config) — and the affine is FOLDED into the returned
+        `lidar2image` / `camera_intrinsics`, so downstream geometry
+        (sparse depth maps, the LSS frustum) needs no separate
+        img_aug_matrix. image_resize overrides the scale (default:
+        max(fW/W, fH/H), which covers the canvas; pass 0.48 for strict
+        reference parity on native 1600x900 nuScenes frames)."""
         self.tables = NuScenesTables(
             dataroot, version, edited_samples_path=edited_samples_path
         )
         self.load_images = load_images
         self.max_points = max_points
         self.sweeps_num = sweeps_num
+        self.image_size = tuple(image_size) if image_size else None
+        self.image_resize = image_resize
         self._samples = list(self.tables.samples_of_split())
 
     def __len__(self) -> int:
@@ -103,8 +117,36 @@ class DetectionSceneDataset:
                     arr = np.asarray(im.convert("RGB"), np.float32)
                 imgs.append(arr / 127.5 - 1.0)
             if imgs:
-                out["images"] = np.stack(imgs)
+                images = np.stack(imgs)
+                if self.image_size is not None:
+                    images, aug = self._resize_views(images)
+                    out["img_aug_matrix"] = aug
+                    # fold the 2D affine into the projective matrices:
+                    # (ud, vd, d) -> (s*ud + tx*d, s*vd + ty*d, d)
+                    for v in range(aug.shape[0]):
+                        A = np.eye(4, dtype=np.float64)
+                        A[:2, :2] = aug[v, :2, :2]
+                        A[:2, 2] = aug[v, :2, 3]
+                        out["lidar2image"][v] = (
+                            A @ out["lidar2image"][v].astype(np.float64)
+                        ).astype(np.float32)
+                        K = out["camera_intrinsics"][v].astype(np.float64)
+                        K[:3, :3] = A[:3, :3] @ K[:3, :3]
+                        out["camera_intrinsics"][v] = K.astype(np.float32)
+                out["images"] = images
         return out
+
+    def _resize_views(self, images: np.ndarray):
+        from mobi_tpu.data.det_pipeline import image_aug_3d
+
+        fH, fW = self.image_size
+        H, W = images.shape[1:3]
+        r = self.image_resize or max(fH / H, fW / W)
+        return image_aug_3d(
+            images, rng=None, final_dim=(fH, fW), resize_lim=(r, r),
+            bot_pct_lim=(0.0, 0.0), rot_lim=(0.0, 0.0), rand_flip=False,
+            is_train=False,
+        )
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         for i in range(len(self)):

@@ -135,6 +135,8 @@ def run_detector(
     score_threshold: float = 0.05,
     voxel_size=(0.075, 0.075, 0.2),
     pc_range=(-54.0, -54.0, -5.0, 54.0, 54.0, 3.0),
+    image_size=(256, 704),
+    image_resize: Optional[float] = None,
     verbose: bool = False,
 ) -> str:
     """Load a reference-format detector checkpoint, run it over the dataset
@@ -157,14 +159,25 @@ def run_detector(
 
     sd = load_torch_checkpoint(checkpoint)
     params = import_bevfusion(sd, use_camera=use_camera)
+    lss_kwargs = None
+    if use_camera:
+        # the FPN's stride-8 level feeds the LSS transform (reference
+        # swint det config: image (256, 704) -> feature (32, 88))
+        lss_kwargs = dict(
+            image_size=tuple(image_size),
+            feature_size=(image_size[0] // 8, image_size[1] // 8),
+        )
     model = BEVFusionDetector(
         use_camera=use_camera,
+        lss_kwargs=lss_kwargs,
         head_kwargs=dict(voxel_size=tuple(voxel_size[:2]),
                          pc_range=tuple(pc_range[:2])),
     )
     ds = DetectionSceneDataset(
         dataroot, version, edited_samples_path=edited_samples_path,
         load_images=use_camera, sweeps_num=sweeps_num,
+        image_size=tuple(image_size) if use_camera else None,
+        image_resize=image_resize,
     )
 
     # static plan shapes -> the jitted forward compiles once for all

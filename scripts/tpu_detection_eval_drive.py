@@ -41,18 +41,28 @@ def positive_vars(tree, key=""):
 
 
 def main():
+    import argparse
+
     import jax
 
     from mobi_tpu.data.synthetic import build_synthetic_nuscenes_raw
     from mobi_tpu.export_bevfusion import save_reference_checkpoint
     from mobi_tpu.models.bevfusion import (
         BEVFusionDetector,
+        build_sparse_depth_map,
         prepare_lidar_inputs,
     )
     from mobi_tpu.utils.cache import enable_compilation_cache
 
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--use-camera", action="store_true",
+                    help="drive the camera+lidar fusion model (Swin-T + "
+                         "LSS) instead of the lidar-only voxelnet")
+    ap.add_argument("--max-samples", type=int, default=6)
+    args = ap.parse_args()
+
     enable_compilation_cache()
-    workdir = "/tmp/det_eval_drive"
+    workdir = "/tmp/det_eval_drive_cam" if args.use_camera else "/tmp/det_eval_drive"
     os.makedirs(workdir, exist_ok=True)
 
     log("building synthetic raw nuScenes tree (2 scenes x 3 samples)")
@@ -60,7 +70,8 @@ def main():
     if not os.path.exists(os.path.join(root, "v1.0-mini")):
         build_synthetic_nuscenes_raw(root, num_scenes=2, samples_per_scene=3)
 
-    log("fabricating full-size lidar-only detector params (eval_shape)")
+    kind = "camera+lidar" if args.use_camera else "lidar-only"
+    log(f"fabricating full-size {kind} detector params (eval_shape)")
     rng = np.random.default_rng(7)
     pts = np.concatenate(
         [
@@ -71,12 +82,23 @@ def main():
         axis=1,
     ).astype(np.float32)
     feats, plans, oc, oshape = prepare_lidar_inputs(pts)  # production grid
-    det = BEVFusionDetector(use_camera=False)
+    kw = {}
+    if args.use_camera:
+        # production camera geometry: 6 views at (256, 704), stride-8 feats
+        l2i = np.stack([np.eye(4, dtype=np.float32)] * 6)
+        l2i[:, 0, 0] = l2i[:, 1, 1] = 500.0
+        kw = dict(
+            images=np.zeros((6, 256, 704, 3), np.float32),
+            depth_map=build_sparse_depth_map(pts[:, :3], l2i, (256, 704)),
+            cam2lidar=np.stack([np.eye(4, dtype=np.float32)] * 6),
+            intrins=np.stack([np.eye(3, dtype=np.float32) * 500.0] * 6),
+        )
+    det = BEVFusionDetector(use_camera=args.use_camera)
     with jax.default_device(jax.devices("cpu")[0]):
         # close over plans/out_shape: they are static host-side structures
         # (eval_shape would abstract the out_shape ints and break tracing)
         shapes = jax.eval_shape(
-            lambda r: det.init(r, feats, plans, oc, oshape),
+            lambda r: det.init(r, feats, plans, oc, oshape, **kw),
             jax.random.PRNGKey(0),
         )["params"]
     params = positive_vars(random_fill(shapes, rng))
@@ -84,7 +106,8 @@ def main():
     log(f"param tree: {n_params / 1e6:.1f}M params")
 
     ckpt = save_reference_checkpoint(
-        params, os.path.join(workdir, "det_fabricated.pth"), use_camera=False
+        params, os.path.join(workdir, "det_fabricated.pth"),
+        use_camera=args.use_camera,
     )
     log(f"reference-format checkpoint written: {ckpt}")
 
@@ -93,12 +116,15 @@ def main():
 
     results = os.path.join(workdir, "results.json")
     t_inf = time.time()
-    metrics = detection_eval.main([
+    cli = [
         "--dataroot", root, "--results", results,
         "--out-dir", os.path.join(workdir, "out"),
-        "--checkpoint", ckpt, "--sweeps-num", "2", "--max-samples", "6",
-        "--verbose-inference",
-    ])
+        "--checkpoint", ckpt, "--sweeps-num", "2",
+        "--max-samples", str(args.max_samples), "--verbose-inference",
+    ]
+    if args.use_camera:
+        cli.append("--use-camera")
+    metrics = detection_eval.main(cli)
     log(f"inference+eval done in {time.time() - t_inf:.1f}s; "
         f"mAP={metrics['mean_ap']:.4f} NDS={metrics['nd_score']:.4f}")
     log("DRIVE COMPLETE")

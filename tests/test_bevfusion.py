@@ -238,3 +238,73 @@ def test_lidar_bev_network_end_to_end(sparse_input):
     # BEV X/Y preserved by SECOND stage0 (stride 1) + FPN upsample of stage1
     assert out.shape == (1, out_shape[0], out_shape[1], 512)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_bevfusion_detector_camera_lidar_fused():
+    """Full camera+lidar fused detector, tiny geometry: 2 views through
+    Swin-T -> GeneralizedLSSFPN -> DepthLSS (lidar-guided), sparse lidar
+    branch, ConvFuser, SECOND/FPN, TransFusion head + decode — the
+    composition of reference fusion_models/bevfusion.py:207-310 in one
+    forward."""
+    from mobi_tpu.models.bevfusion import (
+        BEVFusionDetector,
+        build_sparse_depth_map,
+        prepare_lidar_inputs,
+    )
+
+    rng = np.random.default_rng(7)
+    pts = np.concatenate(
+        [rng.uniform(-4.8, 4.8, (2000, 2)), rng.uniform(-4.9, 2.9, (2000, 1)),
+         rng.uniform(0, 1, (2000, 2))], axis=1,
+    ).astype(np.float32)
+    feats, plans, out_coords, out_shape = prepare_lidar_inputs(
+        pts, voxel_size=(0.15, 0.15, 0.2),
+        pc_range=(-4.8, -4.8, -5, 4.8, 4.8, 3.2), max_voxels=8000,
+    )
+
+    # 2 cameras, 64x176 images (stride-8 features: 8x22)
+    iH, iW = 64, 176
+    K = np.array([[100.0, 0, 88], [0, 100.0, 32], [0, 0, 1]])
+    l2i, c2l = [], []
+    for yaw in (0.0, np.pi / 2):
+        c, s = np.cos(yaw), np.sin(yaw)
+        fwd = np.array([c, s, 0.0])
+        right = np.array([s, -c, 0.0])
+        down = np.array([0.0, 0.0, -1.0])
+        R_lc = np.stack([right, down, fwd])
+        T = np.eye(4)
+        T[:3, :3] = R_lc
+        K4 = np.eye(4)
+        K4[:3, :3] = K
+        l2i.append(K4 @ T)
+        C = np.eye(4)
+        C[:3, :3] = R_lc.T
+        c2l.append(C)
+    images = rng.normal(size=(2, iH, iW, 3)).astype(np.float32)
+    depth_map = build_sparse_depth_map(pts[:, :3], np.stack(l2i), (iH, iW))
+
+    det = BEVFusionDetector(
+        use_camera=True, num_proposals=16,
+        lss_kwargs=dict(
+            image_size=(iH, iW), feature_size=(iH // 8, iW // 8),
+            xbound=(-4.8, 4.8, 0.3), ybound=(-4.8, 4.8, 0.3),
+            zbound=(-5.0, 3.2, 8.2), dbound=(1.0, 9.0, 1.0),
+        ),
+        head_kwargs=dict(voxel_size=(0.15, 0.15), pc_range=(-4.8, -4.8)),
+    )
+    kwargs = dict(
+        images=jnp.asarray(images), depth_map=jnp.asarray(depth_map),
+        cam2lidar=jnp.asarray(np.stack(c2l), jnp.float32),
+        intrins=jnp.asarray(np.stack([K, K]), jnp.float32),
+    )
+    params = det.init(
+        jax.random.PRNGKey(0), jnp.asarray(feats), plans, out_coords,
+        out_shape, **kwargs,
+    )
+    preds = det.apply(
+        params, jnp.asarray(feats), plans, out_coords, out_shape, **kwargs
+    )
+    out = det.apply(params, preds, method=det.decode)
+    assert out["bboxes"].shape == (1, 16, 9)
+    for k in ("bboxes", "scores", "labels"):
+        assert np.all(np.isfinite(np.asarray(out[k], np.float32))), k

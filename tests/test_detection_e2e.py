@@ -129,3 +129,40 @@ def test_detection_eval_cli_end_to_end(raw_root, tmp_path):
     assert np.isfinite(metrics_r["tp_errors"]["trans_err"])
     # per-class: only the edited objects' small jitter accumulates
     assert metrics_r["label_tp_errors"]["car"]["trans_err"] < 0.2
+
+
+def test_detection_dataset_image_resize_folds_projection(raw_root):
+    """With image_size set, the eval loader resizes views deterministically
+    and folds the affine into lidar2image/camera_intrinsics: a 3D point's
+    pixel position under the folded matrix must equal affine(original
+    pixel), and K' == A @ K (ImageAug3D eval semantics,
+    transforms_3d.py:31-128, with the matrix pre-composed)."""
+    from mobi_tpu.data.detection_dataset import DetectionSceneDataset
+
+    plain = DetectionSceneDataset(raw_root, load_images=True, sweeps_num=0)
+    sized = DetectionSceneDataset(
+        raw_root, load_images=True, sweeps_num=0, image_size=(128, 352)
+    )
+    a, b = plain[0], sized[0]
+    assert b["images"].shape[1:3] == (128, 352)
+    assert "img_aug_matrix" in b
+
+    p = np.array([5.0, 1.0, 0.0, 1.0])  # a lidar-frame point
+    for v in range(a["lidar2image"].shape[0]):
+        uvd = a["lidar2image"][v] @ p
+        if uvd[2] < 0.5:
+            continue  # behind this camera
+        u, vv = uvd[0] / uvd[2], uvd[1] / uvd[2]
+        aug = b["img_aug_matrix"][v]
+        expect = aug[:2, :2] @ np.array([u, vv]) + aug[:2, 3]
+        uvd2 = b["lidar2image"][v] @ p
+        got = uvd2[:2] / uvd2[2]
+        np.testing.assert_allclose(got, expect, atol=1e-3)
+        # intrinsics folded the same way
+        A = np.eye(3)
+        A[:2, :2] = aug[:2, :2]
+        A[:2, 2] = aug[:2, 3]
+        np.testing.assert_allclose(
+            b["camera_intrinsics"][v][:3, :3],
+            A @ a["camera_intrinsics"][v][:3, :3], atol=1e-3,
+        )
