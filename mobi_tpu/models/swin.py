@@ -199,6 +199,40 @@ class SwinTransformerTPU(nn.Module):
         return tuple(outs)
 
 
+def _align_corners_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] bilinear interpolation matrix with align_corners=True
+    semantics (torch F.interpolate(..., align_corners=True)): output i
+    samples input at i*(n_in-1)/(n_out-1). Built host-side at trace time
+    (static shapes) so the resize lowers to a single MXU matmul per axis."""
+    M = np.zeros((n_out, n_in), np.float32)
+    if n_in == 1 or n_out == 1:
+        M[:, 0] = 1.0
+        return M
+    pos = np.arange(n_out, dtype=np.float64) * (n_in - 1) / (n_out - 1)
+    lo = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    hi = np.minimum(lo + 1, n_in - 1)
+    w = (pos - lo).astype(np.float32)
+    M[np.arange(n_out), lo] += 1.0 - w
+    M[np.arange(n_out), hi] += w
+    return M
+
+
+def resize_bilinear_align_corners(x: Array, out_hw: Tuple[int, int]) -> Array:
+    """NHWC bilinear resize matching torch align_corners=True (the
+    reference FPN's upsample_cfg, necks/generalized_lss.py:24,91-96)."""
+    oh, ow = out_hw
+    b, h, w, c = x.shape
+    if (h, w) == (oh, ow):
+        return x
+    if h != oh:
+        Mh = jnp.asarray(_align_corners_matrix(h, oh))
+        x = jnp.einsum("oh,bhwc->bowc", Mh, x)
+    if w != ow:
+        Mw = jnp.asarray(_align_corners_matrix(w, ow))
+        x = jnp.einsum("ow,bhwc->bhoc", Mw, x)
+    return x
+
+
 class _FPNConvModule(nn.Module):
     ch: int
     k: int = 1
@@ -228,10 +262,8 @@ class GeneralizedLSSFPN(nn.Module):
         laterals = list(inputs)
         n = len(laterals) - 1
         for i in range(n - 1, -1, -1):
-            up = jax.image.resize(
-                laterals[i + 1],
-                laterals[i].shape[:3] + (laterals[i + 1].shape[-1],),
-                method="bilinear",
+            up = resize_bilinear_align_corners(
+                laterals[i + 1], laterals[i].shape[1:3]
             )
             cat = jnp.concatenate([laterals[i], up], axis=-1)
             h = _FPNConvModule(self.out_channels, k=1, name=f"lateral{i}")(cat)

@@ -140,9 +140,12 @@ def install():
 
     mmdet = types.ModuleType("mmdet")
     mmdet_models = types.ModuleType("mmdet.models")
+    mmdet_builder = types.ModuleType("mmdet.models.builder")
     for r in ("BACKBONES", "NECKS", "HEADS", "LOSSES", "DETECTORS"):
         setattr(mmdet_models, r, _registry())
+        setattr(mmdet_builder, r, _registry())
     mmdet.models = mmdet_models
+    mmdet_models.builder = mmdet_builder
 
     mmdet3d = types.ModuleType("mmdet3d")
     builder = types.ModuleType("mmdet3d.models.builder")
@@ -158,7 +161,9 @@ def install():
 
     for name, mod in (("mmcv", mmcv), ("mmcv.cnn", mmcv_cnn),
                       ("mmcv.runner", mmcv_runner), ("mmdet", mmdet),
-                      ("mmdet.models", mmdet_models), ("mmdet3d", mmdet3d),
+                      ("mmdet.models", mmdet_models),
+                      ("mmdet.models.builder", mmdet_builder),
+                      ("mmdet3d", mmdet3d),
                       ("mmdet3d.models", mmdet3d_models),
                       ("mmdet3d.models.builder", builder),
                       ("mmdet3d.ops", mmdet3d_ops)):

@@ -19,6 +19,7 @@ import mm_stubs  # noqa: E402
 from test_golden_reference import max_err, nchw_to_nhwc, randomize_  # noqa: E402
 
 from mobi_tpu.import_bevfusion import (  # noqa: E402
+    import_lss_fpn,
     import_depth_lss,
     import_fuser,
     import_second,
@@ -737,3 +738,36 @@ def test_detections_to_nusc_results_global_frame():
     )
     assert r["detection_name"] == "car"
     assert r["attribute_name"] == "vehicle.moving"  # speed > 0.2
+
+
+# ----------------------------------------------------- GeneralizedLSSFPN
+def test_generalized_lss_fpn_parity():
+    """Camera neck vs the reference's vendored GeneralizedLSSFPN
+    (necks/generalized_lss.py:13-104): top-down align_corners=True bilinear
+    upsample -> concat -> 1x1 ConvModule -> 3x3 ConvModule, through
+    import_lss_fpn. Non-integer scale (2x6 -> 4x11) pins the upsample
+    semantics."""
+    from mobi_tpu.models.swin import GeneralizedLSSFPN
+
+    lss_mod = mm_stubs.load_ref("mmdet3d/models/necks/generalized_lss.py",
+                                "ref_generalized_lss")
+    ref = lss_mod.GeneralizedLSSFPN(
+        in_channels=[16, 32, 64], out_channels=24, num_outs=2,
+    )
+    randomize_with_buffers_(ref, seed=17)
+    ref.eval()
+
+    g = torch.Generator().manual_seed(18)
+    xs = [torch.randn(2, c, h, w, generator=g)
+          for c, (h, w) in zip((16, 32, 64), ((8, 22), (4, 11), (2, 6)))]
+    with torch.no_grad():
+        outs_ref = ref(xs)
+
+    params = import_lss_fpn(prefixed_sd(ref, ""), "", num_levels=2)
+    net = GeneralizedLSSFPN(out_channels=24)
+    outs = net.apply({"params": params}, [nchw_to_nhwc(x) for x in xs])
+
+    assert len(outs) == len(outs_ref) == 2
+    for o, r in zip(outs, outs_ref):
+        err = max_err(o, nchw_to_nhwc(r))
+        assert err < 1e-4, f"FPN parity max-err {err}"
