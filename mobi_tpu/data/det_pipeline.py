@@ -120,7 +120,14 @@ def global_rot_scale_trans(
         if boxes.shape[1] >= 9:
             boxes[:, 7:9] = boxes[:, 7:9] @ R.T
             boxes[:, 7:9] *= scale
-    return points, boxes
+    # 4x4 lidar-frame transform applied to points: p' = s * Rz(angle) p + t
+    # (the reference records this as lidar_aug_matrix for the camera
+    # vtransform, transforms_3d.py:155-161)
+    M = np.eye(4, dtype=np.float32)
+    M[:2, :2] = scale * R
+    M[2, 2] = scale
+    M[:3, 3] = trans
+    return points, boxes, M
 
 
 def random_flip_3d(
@@ -134,8 +141,10 @@ def random_flip_3d(
     y, vertical flips x; yaw/velocity mirrored accordingly."""
     points = points.copy()
     boxes = boxes.copy()
+    M = np.eye(4, dtype=np.float32)
     if rng.uniform() < flip_ratio_horizontal:
         points[:, 1] = -points[:, 1]
+        M[1, 1] = -1.0
         if len(boxes):
             boxes[:, 1] = -boxes[:, 1]
             boxes[:, 6] = -boxes[:, 6]
@@ -143,12 +152,13 @@ def random_flip_3d(
                 boxes[:, 8] = -boxes[:, 8]
     if rng.uniform() < flip_ratio_vertical:
         points[:, 0] = -points[:, 0]
+        M[0, 0] = -1.0
         if len(boxes):
             boxes[:, 0] = -boxes[:, 0]
             boxes[:, 6] = np.pi - boxes[:, 6]
             if boxes.shape[1] >= 9:
                 boxes[:, 7] = -boxes[:, 7]
-    return points, boxes
+    return points, boxes, M
 
 
 def points_range_filter(
@@ -361,12 +371,19 @@ def train_pipeline(
     boxes, labels = object_name_filter(boxes, rec["gt_names"], classes)
     if sampler is not None:
         points, boxes, labels = sampler(points, boxes, labels, classes)
-    points, boxes = global_rot_scale_trans(points, boxes, rng)
-    points, boxes = random_flip_3d(points, boxes, rng)
+    points, boxes, M_rst = global_rot_scale_trans(points, boxes, rng)
+    points, boxes, M_flip = random_flip_3d(points, boxes, rng)
     boxes, labels = object_range_filter(boxes, labels, pc_range)
     points = points_range_filter(points, pc_range)
     points = point_shuffle(points, rng)
-    return {"points": points, "gt_bboxes_3d": boxes, "gt_labels_3d": labels}
+    return {
+        "points": points, "gt_bboxes_3d": boxes, "gt_labels_3d": labels,
+        # composed lidar-frame aug (rst first, then flip) — the camera
+        # vtransform composes this into cam2lidar so camera BEV features
+        # land in the augmented lidar frame (reference bevfusion.py
+        # lidar_aug_matrix plumbing)
+        "lidar_aug_matrix": M_flip @ M_rst,
+    }
 
 
 def grid_mask(

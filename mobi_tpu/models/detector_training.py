@@ -52,6 +52,40 @@ def make_detector_optimizer(
     )
 
 
+def camera_batch_inputs(
+    points_aug: np.ndarray,
+    lidar_aug_matrix: np.ndarray,
+    sample: Dict,
+) -> Dict[str, np.ndarray]:
+    """Camera-branch training inputs for one sample.
+
+    points_aug: the lidar-augmented training cloud (train_pipeline output);
+    lidar_aug_matrix: the composed 4x4 lidar aug; sample: a
+    DetectionSceneDataset item with resized images + folded matrices.
+
+    The camera vtransform must place camera BEV features in the AUGMENTED
+    lidar frame (where the gt boxes live), so the aug composes into
+    cam2lidar; the sparse depth map projects through the UN-augmented
+    geometry, so the aug is inverted off the points first (the reference
+    passes lidar_aug_matrix into the vtransform and inverts it in
+    vtransforms/base.py:241-258 — composing host-side is equivalent and
+    keeps the device program aug-free)."""
+    from mobi_tpu.models.bevfusion import build_sparse_depth_map
+
+    aug = np.asarray(lidar_aug_matrix, np.float64)
+    inv = np.linalg.inv(aug)
+    p0 = points_aug[:, :3] @ inv[:3, :3].T + inv[:3, 3]
+    iH, iW = sample["images"].shape[1:3]
+    return dict(
+        images=sample["images"].astype(np.float32),
+        depth_map=build_sparse_depth_map(
+            p0.astype(np.float32), sample["lidar2image"], (iH, iW)
+        ),
+        cam2lidar=(aug[None] @ sample["camera2lidar"]).astype(np.float32),
+        intrins=sample["camera_intrinsics"][:, :3, :3].astype(np.float32),
+    )
+
+
 def detector_loss_fn(
     detector: BEVFusionDetector,
     params,

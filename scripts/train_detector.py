@@ -73,7 +73,8 @@ def main():
     rng = np.random.default_rng(args.seed)
 
     dataset = DetectionSceneDataset(
-        args.dataroot, args.version, load_images=args.camera
+        args.dataroot, args.version, load_images=args.camera,
+        image_size=(256, 704) if args.camera else None,
     )
     sampler = (
         GTDatabaseSampler(
@@ -129,14 +130,12 @@ def main():
             "gt_mask": m[None],
         }
         if args.camera:
-            full = dataset[i % len(dataset)]
-            batch.update(
-                images=full["images"][None],
-                cam2lidar=np.linalg.inv(
-                    full["lidar2camera_transforms"]
-                )[None].astype(np.float32),
-                intrins=full["camera_intrinsics"][None].astype(np.float32),
-            )
+            from mobi_tpu.models.detector_training import camera_batch_inputs
+
+            batch.update(camera_batch_inputs(
+                ex["points"], ex["lidar_aug_matrix"],
+                dataset[i % len(dataset)],
+            ))
         return batch, out_shape
 
     print(f"initializing detector params ({len(dataset)} samples)")

@@ -158,8 +158,12 @@ def test_pipeline_global_rot_scale_trans_consistency():
     boxes = np.array([[4.0, -2.0, 0.0, 2.0, 1.0, 1.0, 0.3, 1.0, 0.5]],
                      np.float32)
     points = np.array([[4.0, -2.0, 0.0, 0.5, 0.0]], np.float32)
-    p2, b2 = global_rot_scale_trans(points, boxes, rng)
+    p2, b2, M = global_rot_scale_trans(points, boxes, rng)
     np.testing.assert_allclose(p2[0, :3], b2[0, :3], atol=1e-5)
+    # the returned matrix reproduces the applied point transform
+    np.testing.assert_allclose(
+        (M @ np.append(points[0, :3], 1.0))[:3], p2[0, :3], atol=1e-5
+    )
 
 
 def test_pipeline_flip_and_filters():
@@ -173,8 +177,9 @@ def test_pipeline_flip_and_filters():
     rng = np.random.default_rng(1)
     boxes = np.array([[1.0, 2.0, 0.0, 2.0, 1.0, 1.0, 0.5]], np.float32)
     points = np.array([[1.0, 2.0, 0.0]], np.float32)
-    p2, b2 = random_flip_3d(points, boxes, rng, 1.0, 0.0)  # force h-flip
+    p2, b2, M = random_flip_3d(points, boxes, rng, 1.0, 0.0)  # force h-flip
     assert p2[0, 1] == -2.0 and b2[0, 1] == -2.0 and b2[0, 6] == -0.5
+    assert M[1, 1] == -1.0 and M[0, 0] == 1.0
 
     pc = [-5.0, -5.0, -5.0, 5.0, 5.0, 5.0]
     boxes = np.array(
@@ -444,3 +449,46 @@ def test_detection_dataset_multisweep(tmp_path):
     # each synthetic sweep holds 300 points, near-ego ones filtered
     assert ((lags > 0).sum()) <= 600
     assert (lags > 0).sum() > 500
+
+
+def test_camera_batch_inputs_geometry():
+    """camera_batch_inputs: the depth map is built from the UN-augmented
+    cloud and cam2lidar carries the composed lidar aug (host-side
+    equivalent of the reference's lidar_aug_matrix plumbing,
+    vtransforms/base.py:241-258)."""
+    from mobi_tpu.models.bevfusion import build_sparse_depth_map
+    from mobi_tpu.models.detector_training import camera_batch_inputs
+
+    rng = np.random.default_rng(3)
+    pts0 = rng.uniform(-5, 5, (200, 3)).astype(np.float32)
+    ang = 0.4
+    c, s = np.cos(ang), np.sin(ang)
+    aug = np.eye(4, dtype=np.float32)
+    aug[:2, :2] = 1.05 * np.array([[c, -s], [s, c]])
+    aug[2, 2] = 1.05
+    aug[:3, 3] = [0.2, -0.1, 0.05]
+    pts_aug = pts0 @ aug[:3, :3].T + aug[:3, 3]
+    pts_aug = np.concatenate(
+        [pts_aug, np.zeros((len(pts_aug), 2), np.float32)], 1
+    )
+
+    K4 = np.eye(4, dtype=np.float32)
+    K4[0, 0] = K4[1, 1] = 60.0
+    K4[0, 2], K4[1, 2] = 16.0, 8.0
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    sample = dict(
+        images=np.zeros((1, 16, 32, 3), np.float32),
+        lidar2image=(K4 @ T)[None],
+        camera2lidar=np.linalg.inv(T)[None],
+        camera_intrinsics=K4[None],
+    )
+    out = camera_batch_inputs(pts_aug, aug, sample)
+
+    want = build_sparse_depth_map(pts0, sample["lidar2image"], (16, 32))
+    np.testing.assert_allclose(out["depth_map"], want, atol=1e-4)
+    # cam origin lands at aug @ (camera position in lidar frame)
+    origin = out["cam2lidar"][0] @ np.array([0, 0, 0, 1.0])
+    want_origin = aug @ sample["camera2lidar"][0] @ np.array([0, 0, 0, 1.0])
+    np.testing.assert_allclose(origin, want_origin, atol=1e-5)
+    assert out["intrins"].shape == (1, 3, 3)
