@@ -132,7 +132,10 @@ def build_synthetic_database(
             p = os.path.join(sdir, f"range_{name}.npy")
             np.save(p, arr)
             paths[name] = p
-        lidar_p = os.path.join(sdir, "lidar.npy")
+        # globally-unique basenames (real nuScenes sensor files are token-
+        # named): the edited-samples swap resolves files by STEM, so
+        # colliding basenames across scenes would all map to one edit
+        lidar_p = os.path.join(sdir, f"{token}_lidar.npy")
         np.save(lidar_p, np.concatenate([pts, intensity[:, None]], 1).astype(np.float32))
 
         # camera frames: noise background + bright box region per camera
@@ -149,7 +152,7 @@ def build_synthetic_database(
                     y1 = int(np.clip(xy[:, 1].min(), 0, img_h - 1))
                     y2 = int(np.clip(xy[:, 1].max(), 0, img_h - 1))
                     img[y1:y2, x1:x2] = rng.integers(120, 255, 3, dtype=np.uint8)
-            p = os.path.join(sdir, f"cam{ci}.jpg")
+            p = os.path.join(sdir, f"{token}_cam{ci}.jpg")
             Image.fromarray(img).save(p)
             image_paths.append(p)
             l2i.append(P)
