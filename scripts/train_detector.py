@@ -44,6 +44,9 @@ def main():
     p.add_argument("--calibrate", type=int, default=8,
                    help="derive static voxel caps from this many sample "
                         "clouds (0 = use default_static_caps)")
+    p.add_argument("--batch-size", type=int, default=1,
+                   help=">1 uses the vmapped batched train step (static-cap "
+                        "plans share one compiled program across samples)")
     p.add_argument("--save-every", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -89,7 +92,14 @@ def main():
 
     detector = BEVFusionDetector(use_camera=args.camera)
     tx = make_detector_optimizer(args.lr, total_steps=args.max_steps)
-    step_fn = make_detector_train_step(detector, tx)
+    if args.batch_size > 1:
+        from mobi_tpu.models.detector_training import (
+            make_batched_detector_train_step,
+        )
+
+        step_fn = make_batched_detector_train_step(detector, tx)
+    else:
+        step_fn = make_detector_train_step(detector, tx)
 
     if args.calibrate > 0:
         # data-derived caps: real lidar contracts ~2-4x per stride-2 level
@@ -152,7 +162,17 @@ def main():
     metrics_path = os.path.join(args.logdir, "metrics.jsonl")
     t0 = time.time()
     for step in range(1, args.max_steps + 1):
-        batch, out_shape = make_batch(step)
+        if args.batch_size > 1:
+            from mobi_tpu.models.detector_training import (
+                stack_detector_batches,
+            )
+
+            parts = [make_batch(step * args.batch_size + j)
+                     for j in range(args.batch_size)]
+            out_shape = parts[0][1]
+            batch = stack_detector_batches([p[0] for p in parts])
+        else:
+            batch, out_shape = make_batch(step)
         params, opt_state, m = step_fn(params, opt_state, batch, out_shape)
         if step % 10 == 0:
             m = {k: float(v) for k, v in m.items()}
