@@ -56,6 +56,9 @@ def camera_batch_inputs(
     points_aug: np.ndarray,
     lidar_aug_matrix: np.ndarray,
     sample: Dict,
+    rng: Optional[np.random.Generator] = None,
+    image_aug: bool = False,
+    grid_mask_prob: float = 0.0,
 ) -> Dict[str, np.ndarray]:
     """Camera-branch training inputs for one sample.
 
@@ -69,20 +72,49 @@ def camera_batch_inputs(
     geometry, so the aug is inverted off the points first (the reference
     passes lidar_aug_matrix into the vtransform and inverts it in
     vtransforms/base.py:241-258 — composing host-side is equivalent and
-    keeps the device program aug-free)."""
+    keeps the device program aug-free).
+
+    image_aug: apply the reference's RANDOM per-view ImageAug3D
+    (resize/crop/flip/rotate, transforms_3d.py:31-128) on top of the
+    sample's deterministic resize, folding each view's affine into the
+    projection matrices the same way the eval loader folds its resize.
+    grid_mask_prob: apply GridMask stripe occlusion to the augmented
+    views (transforms_3d.py:164-251) with this probability."""
     from mobi_tpu.models.bevfusion import build_sparse_depth_map
+
+    images = sample["images"].astype(np.float32)
+    l2i = np.asarray(sample["lidar2image"], np.float64).copy()
+    intr = np.asarray(sample["camera_intrinsics"], np.float64).copy()
+    if image_aug and rng is not None:
+        from mobi_tpu.data.det_pipeline import image_aug_3d
+
+        fH, fW = images.shape[1:3]
+        images, mats = image_aug_3d(
+            images, rng, final_dim=(fH, fW), resize_lim=(0.9, 1.1),
+            is_train=True,
+        )
+        for v in range(mats.shape[0]):
+            A = np.eye(4)
+            A[:2, :2] = mats[v, :2, :2]
+            A[:2, 2] = mats[v, :2, 3]
+            l2i[v] = A @ l2i[v]
+            intr[v, :3, :3] = A[:3, :3] @ intr[v, :3, :3]
+    if grid_mask_prob > 0 and rng is not None:
+        from mobi_tpu.data.det_pipeline import grid_mask
+
+        images = grid_mask(images, rng, prob=grid_mask_prob)
 
     aug = np.asarray(lidar_aug_matrix, np.float64)
     inv = np.linalg.inv(aug)
     p0 = points_aug[:, :3] @ inv[:3, :3].T + inv[:3, 3]
-    iH, iW = sample["images"].shape[1:3]
+    iH, iW = images.shape[1:3]
     return dict(
-        images=sample["images"].astype(np.float32),
+        images=images.astype(np.float32),
         depth_map=build_sparse_depth_map(
-            p0.astype(np.float32), sample["lidar2image"], (iH, iW)
+            p0.astype(np.float32), l2i.astype(np.float32), (iH, iW)
         ),
         cam2lidar=(aug[None] @ sample["camera2lidar"]).astype(np.float32),
-        intrins=sample["camera_intrinsics"][:, :3, :3].astype(np.float32),
+        intrins=intr[:, :3, :3].astype(np.float32),
     )
 
 

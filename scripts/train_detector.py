@@ -47,6 +47,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=1,
                    help=">1 uses the vmapped batched train step (static-cap "
                         "plans share one compiled program across samples)")
+    p.add_argument("--image-aug", action="store_true",
+                   help="random per-view ImageAug3D on the camera branch "
+                        "(affines folded into the projection matrices)")
+    p.add_argument("--grid-mask", type=float, default=0.0,
+                   help="GridMask occlusion probability on camera views")
     p.add_argument("--save-every", type=int, default=200)
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
@@ -144,7 +149,8 @@ def main():
 
             batch.update(camera_batch_inputs(
                 ex["points"], ex["lidar_aug_matrix"],
-                dataset[i % len(dataset)],
+                dataset[i % len(dataset)], rng=rng,
+                image_aug=args.image_aug, grid_mask_prob=args.grid_mask,
             ))
         return batch, out_shape
 

@@ -492,3 +492,36 @@ def test_camera_batch_inputs_geometry():
     want_origin = aug @ sample["camera2lidar"][0] @ np.array([0, 0, 0, 1.0])
     np.testing.assert_allclose(origin, want_origin, atol=1e-5)
     assert out["intrins"].shape == (1, 3, 3)
+
+
+def test_camera_batch_inputs_random_image_aug_folds():
+    """With image_aug on, each view's random affine folds into lidar2image:
+    a projected point's new pixel position equals affine(old position)."""
+    from mobi_tpu.models.detector_training import camera_batch_inputs
+
+    rng = np.random.default_rng(9)
+    pts = np.concatenate(
+        [rng.uniform(2, 8, (50, 3)).astype(np.float32),
+         np.zeros((50, 2), np.float32)], 1,
+    )
+    K4 = np.eye(4, dtype=np.float32)
+    K4[0, 0] = K4[1, 1] = 40.0
+    K4[0, 2], K4[1, 2] = 16.0, 8.0
+    T = np.eye(4, dtype=np.float32)
+    T[:3, :3] = np.array([[0, -1, 0], [0, 0, -1], [1, 0, 0]], np.float32)
+    sample = dict(
+        images=rng.normal(size=(1, 16, 32, 3)).astype(np.float32),
+        lidar2image=(K4 @ T)[None],
+        camera2lidar=np.linalg.inv(T)[None],
+        camera_intrinsics=K4[None],
+    )
+    out = camera_batch_inputs(
+        pts, np.eye(4, dtype=np.float32), sample,
+        rng=np.random.default_rng(5), image_aug=True,
+    )
+    assert out["images"].shape == (1, 16, 32, 3)
+    # reconstruct the applied affine from the folded intrinsics: it must
+    # be a pure 2D affine (last row (0, 0, 1)) and the depth map finite
+    A = out["intrins"][0] @ np.linalg.inv(K4[:3, :3])
+    np.testing.assert_allclose(A[2], [0, 0, 1], atol=1e-6)
+    assert np.isfinite(out["depth_map"]).all()
