@@ -147,6 +147,20 @@ def install():
     mmdet.models = mmdet_models
     mmdet_models.builder = mmdet_builder
 
+    mmdet_core = types.ModuleType("mmdet.core")
+    mmdet_core_bbox = types.ModuleType("mmdet.core.bbox")
+    mmdet_core_bbox_builder = types.ModuleType("mmdet.core.bbox.builder")
+
+    class BaseBBoxCoder:
+        def __init__(self, **kw):
+            pass
+
+    mmdet_core_bbox.BaseBBoxCoder = BaseBBoxCoder
+    mmdet_core_bbox_builder.BBOX_CODERS = _registry()
+    mmdet_core_bbox.builder = mmdet_core_bbox_builder
+    mmdet_core.bbox = mmdet_core_bbox
+    mmdet.core = mmdet_core
+
     mmdet3d = types.ModuleType("mmdet3d")
     builder = types.ModuleType("mmdet3d.models.builder")
     for r in ("FUSERS", "VTRANSFORMS", "HEADS", "BACKBONES", "NECKS"):
@@ -163,6 +177,9 @@ def install():
                       ("mmcv.runner", mmcv_runner), ("mmdet", mmdet),
                       ("mmdet.models", mmdet_models),
                       ("mmdet.models.builder", mmdet_builder),
+                      ("mmdet.core", mmdet_core),
+                      ("mmdet.core.bbox", mmdet_core_bbox),
+                      ("mmdet.core.bbox.builder", mmdet_core_bbox_builder),
                       ("mmdet3d", mmdet3d),
                       ("mmdet3d.models", mmdet3d_models),
                       ("mmdet3d.models.builder", builder),
