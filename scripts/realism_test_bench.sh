@@ -10,6 +10,10 @@ OUT=${OUT:-results/realism}
 STEPS=${STEPS:-50}
 SCALE=${SCALE:-5}
 USE_LIDAR=${USE_LIDAR:-True}
+N_PER_CLASS=${N_PER_CLASS:-100}
+PYTHON=${PYTHON:-python}
+# EXTRA_OVERRIDES: extra config dotlist overrides (e.g. synthetic db paths);
+# MAX_BATCHES: cap batches per mode for smoke drives
 
 RESULTS_TABLE="$OUT/realism_table.csv"
 mkdir -p "$OUT"
@@ -19,18 +23,20 @@ fi
 
 run_experiment () {
     local ref_mode=$1
-    python scripts/inference_test_bench.py \
+    $PYTHON scripts/inference_test_bench.py \
         --config "$CONFIG" --ckpt "$CKPT" \
         --outdir "$OUT/$ref_mode" \
         --plms --ddim_steps "$STEPS" --scale "$SCALE" \
         --n_samples 4 --seed 321 --save_samples --save_visualisations \
+        ${MAX_BATCHES:+--max_batches "$MAX_BATCHES"} \
         ref_mode="$ref_mode" \
-        data.params.test.params.num_samples_per_class=100 \
-        use_lidar="$USE_LIDAR"
+        data.params.test.params.num_samples_per_class="$N_PER_CLASS" \
+        use_lidar="$USE_LIDAR" \
+        $EXTRA_OVERRIDES
 }
 
 score () {  # score <tool> <label> <target> <pred>
-    python "eval_tool/camera/$1" --path_target "$3" --path_pred "$4" \
+    $PYTHON "eval_tool/camera/$1" --path_target "$3" --path_pred "$4" \
         | grep -oP "$2:\\s*\\K[0-9.]+" || echo "nan"
 }
 
@@ -42,7 +48,7 @@ compute_scores () {
 
     FID=$(score fid_score.py FID "$dir/camera/patch_gt" "$dir/camera/patch_pred")
     LPIPS=$(score lpips_score.py LPIPS "$dir/camera/patch_gt" "$dir/camera/patch_pred")
-    CLIP=$(python eval_tool/camera/clip_score.py \
+    CLIP=$($PYTHON eval_tool/camera/clip_score.py \
         --path_ref "$dir/camera/object_ref" --path_pred "$dir/camera/object_pred" \
         | grep -oP 'CLIP:\s*\K[0-9.]+' || echo "nan")
 
