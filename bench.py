@@ -40,9 +40,9 @@ from mobi_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
 
-# (camera, lidar) pairs per device batch; 4 is the headline config —
-# MOBI_BENCH_BATCH_PAIRS overrides for batch-scaling A/Bs
-BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "8"))
+# (camera, lidar) pairs per device batch; 16 measured best on the v5e
+# (PROFILE.md batch-scaling table) — MOBI_BENCH_BATCH_PAIRS overrides
+BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "16"))
 STEPS = 50
 GUIDANCE = 5.0
 TARGET_PER_HOUR = 1000.0
