@@ -505,6 +505,28 @@ def background_points_filter(
     return points[in_orig | ~in_big]
 
 
+def fold_img_aug(
+    lidar2image: np.ndarray,
+    camera_intrinsics: np.ndarray,
+    img_aug_matrix: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fold per-view 2D affines (ImageAug3D `img_aug_matrix` [V, 4, 4])
+    into projective matrices: (ud, vd, d) -> (a00*ud + a01*vd + tx*d, ...),
+    i.e. the affine's translation lands in the DEPTH column. Returns new
+    (lidar2image [V, 4, 4], camera_intrinsics [V, 4, 4]); downstream
+    geometry (sparse depth maps, the LSS frustum) then needs no separate
+    aug matrix."""
+    l2i = np.asarray(lidar2image, np.float64).copy()
+    intr = np.asarray(camera_intrinsics, np.float64).copy()
+    for v in range(img_aug_matrix.shape[0]):
+        A = np.eye(4)
+        A[:2, :2] = img_aug_matrix[v, :2, :2]
+        A[:2, 2] = img_aug_matrix[v, :2, 3]
+        l2i[v] = A @ l2i[v]
+        intr[v, :3, :3] = A[:3, :3] @ intr[v, :3, :3]
+    return l2i.astype(np.float32), intr.astype(np.float32)
+
+
 def image_aug_3d(
     images: np.ndarray,
     rng: Optional[np.random.Generator],

@@ -119,20 +119,15 @@ class DetectionSceneDataset:
             if imgs:
                 images = np.stack(imgs)
                 if self.image_size is not None:
+                    from mobi_tpu.data.det_pipeline import fold_img_aug
+
                     images, aug = self._resize_views(images)
                     out["img_aug_matrix"] = aug
-                    # fold the 2D affine into the projective matrices:
-                    # (ud, vd, d) -> (s*ud + tx*d, s*vd + ty*d, d)
-                    for v in range(aug.shape[0]):
-                        A = np.eye(4, dtype=np.float64)
-                        A[:2, :2] = aug[v, :2, :2]
-                        A[:2, 2] = aug[v, :2, 3]
-                        out["lidar2image"][v] = (
-                            A @ out["lidar2image"][v].astype(np.float64)
-                        ).astype(np.float32)
-                        K = out["camera_intrinsics"][v].astype(np.float64)
-                        K[:3, :3] = A[:3, :3] @ K[:3, :3]
-                        out["camera_intrinsics"][v] = K.astype(np.float32)
+                    out["lidar2image"], out["camera_intrinsics"] = (
+                        fold_img_aug(
+                            out["lidar2image"], out["camera_intrinsics"], aug
+                        )
+                    )
                 out["images"] = images
         return out
 

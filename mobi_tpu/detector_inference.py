@@ -183,12 +183,18 @@ def run_detector(
     # static plan shapes -> the jitted forward compiles once for all
     # clouds; caps derived from the first few eval clouds so the plan is
     # robust to this dataset's density (margin absorbs the rest; a denser
-    # outlier raises with a clear bump-the-caps message)
+    # outlier raises with a clear bump-the-caps message). Calibration only
+    # needs points — use an image-free loader so the camera path doesn't
+    # decode/resize 6 views per calibration sample just to throw them away.
     n_total = len(ds) if max_samples is None else min(len(ds), max_samples)
-    static_caps = calibrate_static_caps(
-        (ds[i]["points"] for i in range(min(8, n_total))),
-        voxel_size=voxel_size, pc_range=pc_range,
+    cal_ds = ds if not use_camera else DetectionSceneDataset(
+        dataroot, version, edited_samples_path=edited_samples_path,
+        load_images=False, sweeps_num=sweeps_num,
     )
+    static_caps = calibrate_static_caps(
+        (cal_ds[i]["points"] for i in range(min(8, n_total))),
+        voxel_size=voxel_size, pc_range=pc_range,
+    ) if n_total else None
 
     @partial(jax.jit, static_argnames=("out_shape",))
     def forward(params, feats, plans, out_coords, out_shape, **kw):
@@ -230,7 +236,7 @@ def run_detector(
         return ex, feats, plans, out_coords, out_shape, kwargs, rec
 
     with ThreadPoolExecutor(max_workers=1) as pool:
-        fut = pool.submit(host_prep, 0)
+        fut = pool.submit(host_prep, 0) if n > 0 else None
         for i in range(n):
             t0 = time.time()
             ex, feats, plans, out_coords, out_shape, kwargs, rec = fut.result()

@@ -83,22 +83,17 @@ def camera_batch_inputs(
     from mobi_tpu.models.bevfusion import build_sparse_depth_map
 
     images = sample["images"].astype(np.float32)
-    l2i = np.asarray(sample["lidar2image"], np.float64).copy()
-    intr = np.asarray(sample["camera_intrinsics"], np.float64).copy()
+    l2i = np.asarray(sample["lidar2image"], np.float32)
+    intr = np.asarray(sample["camera_intrinsics"], np.float32)
     if image_aug and rng is not None:
-        from mobi_tpu.data.det_pipeline import image_aug_3d
+        from mobi_tpu.data.det_pipeline import fold_img_aug, image_aug_3d
 
         fH, fW = images.shape[1:3]
         images, mats = image_aug_3d(
             images, rng, final_dim=(fH, fW), resize_lim=(0.9, 1.1),
             is_train=True,
         )
-        for v in range(mats.shape[0]):
-            A = np.eye(4)
-            A[:2, :2] = mats[v, :2, :2]
-            A[:2, 2] = mats[v, :2, 3]
-            l2i[v] = A @ l2i[v]
-            intr[v, :3, :3] = A[:3, :3] @ intr[v, :3, :3]
+        l2i, intr = fold_img_aug(l2i, intr, mats)
     if grid_mask_prob > 0 and rng is not None:
         from mobi_tpu.data.det_pipeline import grid_mask
 

@@ -50,7 +50,7 @@ compute_scores () {
     LPIPS=$(score lpips_score.py LPIPS "$dir/camera/patch_gt" "$dir/camera/patch_pred")
     CLIP=$($PYTHON eval_tool/camera/clip_score.py \
         --path_ref "$dir/camera/object_ref" --path_pred "$dir/camera/object_pred" \
-        | grep -oP 'CLIP:\s*\K[0-9.]+' || echo "nan")
+        | grep -oP 'CLIP score:\s*\K[0-9.]+' || echo "nan")
 
     if [[ "$USE_LIDAR" == "True" ]]; then
         D_LPIPS=$(score lpips_score.py LPIPS \

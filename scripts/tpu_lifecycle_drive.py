@@ -75,22 +75,25 @@ def main():
     # (objects.json lives INSIDE the edited-samples dir — the patched
     # devkit's DetectionEval reads <edited_samples_path>/objects.json)
     objects_json = os.path.join(itb_out, "samples_seed321", "objects.json")
-    run("inpaint", [
-        PY, "scripts/inference_test_bench.py",
-        "--config", "configs/mobi_nusc_512.yaml", "--ckpt", ckpt,
-        "--outdir", itb_out, "--ddim_steps", "50", "--scale", "5",
-        "--n_samples", "4", "--n_workers", "1", "--seed", "321",
-        "--save_samples", "--max_batches", "2",
-        "ref_mode=track-ref",
-        f"data.params.test.params.object_database_path={csv}",
-        f"data.params.test.params.scene_database_path={pkl}",
-        "data.params.test.params.num_samples_per_class=4",
-        "data.params.test.params.min_lidar_points=1",
-        "data.params.test.params.reference_image_min_h=1",
-        "data.params.test.params.reference_image_min_w=1",
-        "data.params.test.params.camera_visibility_min=0.0",
-        f"data.params.test.params.object_meta_dump_path={objects_json}",
-    ])
+    if os.path.exists(objects_json):
+        log("[inpaint] already done (objects.json exists), skipping")
+    else:
+        run("inpaint", [
+            PY, "scripts/inference_test_bench.py",
+            "--config", "configs/mobi_nusc_512.yaml", "--ckpt", ckpt,
+            "--outdir", itb_out, "--ddim_steps", "50", "--scale", "5",
+            "--n_samples", "4", "--n_workers", "1", "--seed", "321",
+            "--save_samples", "--max_batches", "2",
+            "ref_mode=track-ref",
+            f"data.params.test.params.object_database_path={csv}",
+            f"data.params.test.params.scene_database_path={pkl}",
+            "data.params.test.params.num_samples_per_class=4",
+            "data.params.test.params.min_lidar_points=1",
+            "data.params.test.params.reference_image_min_h=1",
+            "data.params.test.params.reference_image_min_w=1",
+            "data.params.test.params.camera_visibility_min=0.0",
+            f"data.params.test.params.object_meta_dump_path={objects_json}",
+        ])
     edited = os.path.join(itb_out, "samples_seed321")
     n_edited = len(os.listdir(edited))
     log(f"edited sample files: {n_edited} in {edited}")
