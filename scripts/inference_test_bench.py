@@ -93,11 +93,17 @@ def main(argv=None):
     if opt.ckpt and os.path.isdir(opt.ckpt):
         # orbax dir: the restored tree is complete, so skip the expensive
         # host-side init_params (it would be discarded wholesale).
+        # Accepts either a manager dir (restores the latest step) or a
+        # single step dir inside one (model_selection.sh iterates those).
         print(f"loading checkpoint {opt.ckpt}")
         from mobi_tpu.checkpoint import CheckpointManager
 
-        mgr = CheckpointManager(opt.ckpt)
-        params = mgr.restore()["params"]
+        ckpt_dir, step = opt.ckpt, None
+        base = os.path.basename(os.path.normpath(ckpt_dir))
+        if base.isdigit():
+            ckpt_dir, step = os.path.dirname(os.path.normpath(ckpt_dir)), int(base)
+        mgr = CheckpointManager(ckpt_dir)
+        params = mgr.restore(step=step)["params"]
     else:
         params = model.init_params(rng)
     if opt.ckpt and not os.path.isdir(opt.ckpt):
