@@ -103,6 +103,7 @@ class DetectionSceneDataset:
             else np.zeros((0, 4, 4), np.float32),
             "camera_intrinsics": rec["camera_intrinsics"].astype(np.float32),
             "cam_types": rec["cam_types"],
+            "lidar2global": np.asarray(rec["lidar2global"], np.float64),
             "gt_bboxes_3d": rec["gt_bboxes_3d"].astype(np.float32),
             "gt_velocity": rec["gt_velocity"].astype(np.float32),
             "gt_names": list(rec["gt_names"]),

@@ -63,11 +63,27 @@ def _quat_mul(a, b):
 
 
 def _rot_to_quat(R: np.ndarray) -> List[float]:
+    """Shepperd's largest-pivot extraction — numerically stable for all
+    rotations (the trace-only formula degenerates near 180-degree yaw,
+    which real ego poses do hit)."""
     t = np.trace(R)
-    w = np.sqrt(max(1 + t, 1e-12)) / 2
-    return [float(w), float((R[2, 1] - R[1, 2]) / (4 * w)),
-            float((R[0, 2] - R[2, 0]) / (4 * w)),
-            float((R[1, 0] - R[0, 1]) / (4 * w))]
+    if t > max(R[0, 0], R[1, 1], R[2, 2]):
+        s = 2.0 * np.sqrt(1.0 + t)
+        q = [0.25 * s, (R[2, 1] - R[1, 2]) / s,
+             (R[0, 2] - R[2, 0]) / s, (R[1, 0] - R[0, 1]) / s]
+    elif R[0, 0] >= R[1, 1] and R[0, 0] >= R[2, 2]:
+        s = 2.0 * np.sqrt(1.0 + R[0, 0] - R[1, 1] - R[2, 2])
+        q = [(R[2, 1] - R[1, 2]) / s, 0.25 * s,
+             (R[0, 1] + R[1, 0]) / s, (R[0, 2] + R[2, 0]) / s]
+    elif R[1, 1] >= R[2, 2]:
+        s = 2.0 * np.sqrt(1.0 + R[1, 1] - R[0, 0] - R[2, 2])
+        q = [(R[0, 2] - R[2, 0]) / s, (R[0, 1] + R[1, 0]) / s,
+             0.25 * s, (R[1, 2] + R[2, 1]) / s]
+    else:
+        s = 2.0 * np.sqrt(1.0 + R[2, 2] - R[0, 0] - R[1, 1])
+        q = [(R[1, 0] - R[0, 1]) / s, (R[0, 2] + R[2, 0]) / s,
+             (R[1, 2] + R[2, 1]) / s, 0.25 * s]
+    return [float(v) for v in q]
 
 
 def detections_to_nusc_results(
@@ -232,14 +248,16 @@ def run_detector(
                 cam2lidar=jnp.asarray(ex["camera2lidar"]),
                 intrins=jnp.asarray(ex["camera_intrinsics"][:, :3, :3]),
             )
-        rec = ds.tables.sample_record(ds._samples[i])
-        return ex, feats, plans, out_coords, out_shape, kwargs, rec
+        # lidar2global rides in the dataset item — rebuilding the sample
+        # record here would double the per-sample host work this prefetch
+        # thread exists to hide
+        return ex, feats, plans, out_coords, out_shape, kwargs
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         fut = pool.submit(host_prep, 0) if n > 0 else None
         for i in range(n):
             t0 = time.time()
-            ex, feats, plans, out_coords, out_shape, kwargs, rec = fut.result()
+            ex, feats, plans, out_coords, out_shape, kwargs = fut.result()
             if i + 1 < n:
                 fut = pool.submit(host_prep, i + 1)
             decoded = jax.tree.map(
@@ -248,7 +266,7 @@ def run_detector(
             )
             decoded = {k: v[0] for k, v in decoded.items()}  # batch of 1
             results[ex["sample_token"]] = detections_to_nusc_results(
-                decoded, ex["sample_token"], rec["lidar2global"],
+                decoded, ex["sample_token"], ex["lidar2global"],
                 box_convention=box_convention,
                 score_threshold=score_threshold,
             )

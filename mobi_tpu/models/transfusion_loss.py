@@ -225,6 +225,15 @@ def hungarian_assign(cost: Array) -> Array:
     proposal, scipy column semantics) with `_lapjv_device` and scatters
     back to per-proposal indices."""
     P, G = cost.shape
+    if G > P:
+        # _lapjv_device's augmenting-path search requires rows <= columns;
+        # with more gts than proposals the jitted while_loop could never
+        # terminate (no unassigned sink exists once all P columns are
+        # taken) — fail loudly at trace time instead of hanging the chip.
+        raise ValueError(
+            f"hungarian_assign needs proposals >= gt columns, got P={P} < "
+            f"G={G}; raise num_proposals or lower max_gt"
+        )
     col4row = _lapjv_device(cost.T)  # [G] proposal per gt
     return (
         jnp.full((P,), -1, jnp.int32)

@@ -138,6 +138,7 @@ def fused_groupnorm_silu(x: Array, scale: Array, bias: Array,
     # shape gate is static so each call site compiles exactly one branch.
     if (
         x.ndim != 4
+        or x.shape[-1] % num_groups  # kernel's membership matmul needs C|G
         or (x.shape[1] * x.shape[2]) < 4096
         or x.shape[1] % 8
         or x.shape[1] * x.shape[2] * x.shape[3] > 64 * 64 * 320

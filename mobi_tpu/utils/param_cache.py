@@ -50,7 +50,19 @@ def cached_init(
         try:
             want = jax.eval_shape(shape_fn or init_fn, rng)
         except Exception:
-            return True  # can't trace a shape oracle — trust the keyed name
+            if shape_fn is not None:
+                # the caller SUPPLIED a shape oracle and it raised — that
+                # signals an incompatible model change, not an untraceable
+                # init; reject the cache rather than load a stale tree
+                return False
+            import warnings
+
+            warnings.warn(
+                "param_cache: init_fn is not shape-traceable and no "
+                "shape_fn was given — accepting the cached tree on the "
+                "keyed name alone (pass shape_fn to validate)."
+            )
+            return True
         try:
             chex.assert_trees_all_equal_shapes(tree, want)
             return True

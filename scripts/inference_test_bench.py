@@ -120,17 +120,21 @@ def main(argv=None):
         )
         params = restore_partial(params, imported)
 
-    # Pin params to the accelerator ONCE (bf16 for >=2-D weights — the UNet
-    # computes in bf16 anyway; see PROFILE.md "bf16 parameter residency").
-    # Without this every batch re-transfers the fp32 host tree through the
+    # Pin params to the accelerator ONCE. bf16 residency for >=2-D weights
+    # only when the model itself computes in bf16 (PROFILE.md "bf16
+    # parameter residency"); a float32 config keeps fp32 weights so parity
+    # runs are exact. MOBI_ITB_BF16_PARAMS=0 opts out regardless. Without
+    # the device pin every batch re-transfers the host tree through the
     # tunnel, which dominates wall time on tunneled runtimes.
-    params = jax.tree.map(
-        lambda x: jnp.asarray(x).astype(jnp.bfloat16)
-        if (hasattr(x, "dtype") and x.dtype == jnp.float32
-            and getattr(x, "ndim", 0) >= 2)
-        else jnp.asarray(x),
-        params,
-    )
+    if (mcfg.dtype == jnp.bfloat16
+            and os.environ.get("MOBI_ITB_BF16_PARAMS", "1") == "1"):
+        params = jax.tree.map(
+            lambda x: jnp.asarray(x).astype(jnp.bfloat16)
+            if (hasattr(x, "dtype") and x.dtype == jnp.float32
+                and getattr(x, "ndim", 0) >= 2)
+            else jnp.asarray(x),
+            params,
+        )
     params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
 

@@ -525,3 +525,31 @@ def test_camera_batch_inputs_random_image_aug_folds():
     A = out["intrins"][0] @ np.linalg.inv(K4[:3, :3])
     np.testing.assert_allclose(A[2], [0, 0, 1], atol=1e-6)
     assert np.isfinite(out["depth_map"]).all()
+
+
+def test_rot_to_quat_stable_near_180deg():
+    """Shepperd extraction vs scipy for rotations including yaw ~ pi,
+    where the trace-only formula degenerates."""
+    from scipy.spatial.transform import Rotation
+
+    from mobi_tpu.detector_inference import _rot_to_quat
+
+    rng = np.random.default_rng(2)
+    mats = [Rotation.random(random_state=3).as_matrix() for _ in range(5)]
+    mats += [Rotation.from_euler("z", np.pi - 1e-9).as_matrix(),
+             Rotation.from_euler("z", np.pi).as_matrix(),
+             Rotation.from_euler("xyz", [np.pi, 0, 1e-8]).as_matrix()]
+    for R in mats:
+        w, x, y, z = _rot_to_quat(np.asarray(R))
+        want = Rotation.from_matrix(R).as_quat()  # (x, y, z, w)
+        got = np.array([x, y, z, w])
+        # quaternions are sign-ambiguous
+        err = min(np.abs(got - want).max(), np.abs(got + want).max())
+        assert err < 1e-7, (R, got, want)
+
+
+def test_hungarian_assign_rejects_more_gt_than_proposals():
+    from mobi_tpu.models.transfusion_loss import hungarian_assign
+
+    with pytest.raises(ValueError, match="proposals >= gt"):
+        hungarian_assign(jnp.zeros((4, 6)))
