@@ -252,3 +252,48 @@ def test_sample_and_decode_shapes(model_params):
     assert decoded["camera"].shape == (1, 32, 32, 3)
     assert decoded["lidar"].shape == (1, 32, 32, 2)
     assert np.all(np.isfinite(np.asarray(decoded["camera"])))
+
+
+def test_camera_only_end_to_end():
+    """configs/pbe.yaml structure: use_lidar=False, conditioning on the CLIP
+    reference image only (no lidar stage, no bbox token, no interleave) —
+    train step + sample + decode all run on the single-modality batch
+    (reference pbe.yaml; ddpm.py camera-only branches)."""
+    import dataclasses
+
+    from tests.helpers import perturb_params
+
+    from mobi_tpu.training import create_train_state, make_train_step
+
+    cfg = dataclasses.replace(TINY, use_lidar=False, cond_stage_key=("ref_image",))
+    model = MobiDiffusion(cfg)
+    model.cond_model = TinyCondStage(conditions=("ref_image",))
+    params = model.init_params(jax.random.PRNGKey(0))
+    assert "vae_lidar" not in params
+
+    batch = make_batch(b=2)
+    del batch["lidar"]
+    del batch["image"]["cond"]["ref_bbox"]
+
+    # train step on the camera-only batch
+    state, tx = create_train_state(
+        model, jax.random.PRNGKey(0), base_lr=1e-3,
+        params=perturb_params(params),
+    )
+    step_fn = make_train_step(model, tx)
+    new_state, metrics = jax.jit(step_fn)(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+
+    # inpaint pipeline: batch is NOT interleaved (one modality row per sample)
+    data = model.get_input(params, batch, jax.random.PRNGKey(0), encode_cond=True)
+    assert data["z"].shape == (2, 8, 8, 9)
+    assert data["cond"].shape == (2, 1, 64)  # single CLIP token
+    latents = model.sample(
+        params, data, jax.random.PRNGKey(1), num_steps=3, guidance_scale=5.0,
+        sampler="plms",
+    )
+    assert latents.shape == (2, 8, 8, 4)
+    decoded = model.decode_sample(params, latents)
+    assert decoded["camera"].shape == (2, 32, 32, 3)
+    assert "lidar" not in decoded
+    assert np.all(np.isfinite(np.asarray(decoded["camera"])))
