@@ -40,9 +40,10 @@ from mobi_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
 
-# (camera, lidar) pairs per device batch; 16 measured best on the v5e
-# (PROFILE.md batch-scaling table) — MOBI_BENCH_BATCH_PAIRS overrides
-BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "16"))
+# (camera, lidar) pairs per device batch; 20 measured best on the v5e and is
+# the largest passing size — 22+ hit a TPU device fault
+# (PROFILE.md batch-scaling table). MOBI_BENCH_BATCH_PAIRS overrides.
+BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "20"))
 STEPS = 50
 GUIDANCE = 5.0
 TARGET_PER_HOUR = 1000.0
