@@ -109,7 +109,7 @@ class MobiConfig:
     unet_num_res_blocks: int = 2
     unet_attention_resolutions: Sequence[int] = (4, 2, 1)
     unet_num_heads: int = 8
-    unet_use_checkpoint: bool = False
+    unet_use_checkpoint: "bool | str" = False
     attn_backend: str = "auto"
     context_dim: int = 768
     vae_ch: int = 128

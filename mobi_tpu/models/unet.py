@@ -24,7 +24,7 @@ ds 1/2/4, 8 heads, context_dim 768, transformer depth 1.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple, Union
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -255,7 +255,12 @@ class UNetModel(nn.Module):
     bbox_cond: bool = True
     use_camera: bool = True
     use_lidar: bool = True
-    use_checkpoint: bool = False
+    # False: store activations; True: remat every ResBlock + transformer
+    # block (reference CheckpointFunction semantics); "transformer": remat
+    # only the SpatialTransformer blocks and store ResBlock activations —
+    # trades ~2G HBM for skipping the ResBlock recompute in the backward
+    # (PROFILE.md remat-scope A/B).
+    use_checkpoint: Union[bool, str] = False
     add_conv_in_front_of_unet: bool = False
     attn_backend: str = "auto"
     dtype: jnp.dtype = jnp.float32
@@ -293,9 +298,12 @@ class UNetModel(nn.Module):
         # use_checkpoint -> flax remat: recompute each block's activations in
         # the backward pass instead of keeping them in HBM (reference
         # CheckpointFunction, diffusionmodules/util.py:102-149)
-        res_block_cls = nn.remat(ResBlock) if self.use_checkpoint else ResBlock
+        res_block_cls = (
+            nn.remat(ResBlock) if self.use_checkpoint is True else ResBlock
+        )
         transformer_cls = (
-            nn.remat(SpatialTransformer) if self.use_checkpoint
+            nn.remat(SpatialTransformer)
+            if self.use_checkpoint in (True, "transformer")
             else SpatialTransformer
         )
 

@@ -182,3 +182,28 @@ def test_camera_only_unet():
     assert not any("cond_adapter" in n for n in names)
     out = unet.apply(params, x, t, ctx)
     assert out.shape == (2, 8, 8, 4)
+
+
+def test_remat_scope_transformer_only():
+    """use_checkpoint='transformer' (store ResBlocks, remat transformers)
+    produces the same forward/gradient as remat-everything."""
+    import jax
+
+    outs = {}
+    for mode in (True, "transformer"):
+        unet = UNetModel(use_checkpoint=mode, **TINY)
+        x = jnp.ones((2, 8, 8, 9))
+        t = jnp.zeros((2,), jnp.int32)
+        ctx = jnp.ones((2, 2, TINY["context_dim"]))
+        params = unet.init(jax.random.PRNGKey(0), x, t, ctx)
+
+        def loss(p):
+            return jnp.mean(unet.apply(p, x, t, ctx) ** 2)
+
+        val, grad = jax.value_and_grad(loss)(params)
+        outs[str(mode)] = (float(val), grad)
+    assert np.isclose(outs["True"][0], outs["transformer"][0], rtol=1e-6)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        outs["True"][1], outs["transformer"][1],
+    )
