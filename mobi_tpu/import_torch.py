@@ -448,3 +448,50 @@ def merge_imported(base: Params, imported: Params) -> Params:
         return np.asarray(src)
 
     return merge(base, imported)
+
+
+def import_lidar_stage_from_config(cfg: Dict, params: Params) -> Params:
+    """Reference-parity auto-load of ``lidar_stage_config.params.ckpt_path``.
+
+    The reference LatentDiffusion loads the pretrained range autoencoder at
+    model construction (ddpm.py:546-562 -> AutoencoderKL ckpt_path ->
+    init_from_ckpt), BEFORE any ``--pretrained_model`` overlay. When the
+    config names a ckpt_path and the file exists, the lidar VAE leaves are
+    overlaid onto ``params`` and the result returned. The reference crashes
+    on a missing file; shipped configs name published artifacts that are not
+    present on every machine, so a missing file prints a loud warning and
+    returns ``params`` unchanged instead.
+    """
+    import os
+
+    from mobi_tpu.checkpoint import load_torch_checkpoint, restore_partial
+
+    mp = cfg.get("model", {}).get("params", {})
+    lsc = (mp.get("lidar_stage_config") or {}).get("params", {})
+    path = lsc.get("ckpt_path")
+    if not path or not mp.get("use_lidar", False):
+        return params
+    if not os.path.exists(path):
+        print(
+            f"WARNING: lidar_stage_config.params.ckpt_path={path!r} does not "
+            "exist — the lidar VAE stays randomly initialized (the reference "
+            "would refuse to start). Provide the range autoencoder artifact "
+            "or remove ckpt_path."
+        )
+        return params
+
+    sd = to_numpy_state_dict(load_torch_checkpoint(path))
+    # accept a bare AutoencoderKL ckpt or a full LatentDiffusion one
+    if not any(k.startswith("encoder.") for k in sd):
+        sd = _strip_prefix(sd, "lidar_stage_model.")
+    dd = lsc.get("ddconfig", {})
+    imported = import_vae(
+        sd,
+        ch_mult=tuple(dd.get("ch_mult", (1, 2, 4, 4))),
+        num_res_blocks=dd.get("num_res_blocks", 2),
+        attn_resolutions=tuple(dd.get("attn_resolutions", ())),
+        resolution=dd.get("resolution", cfg.get("range_height", 512)),
+        lidar_adapter=dd.get("lidar_adapter", True),
+    )
+    print(f"initialized lidar VAE from {path}")
+    return restore_partial(params, {"vae_lidar": imported})

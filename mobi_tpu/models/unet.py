@@ -298,6 +298,12 @@ class UNetModel(nn.Module):
         # use_checkpoint -> flax remat: recompute each block's activations in
         # the backward pass instead of keeping them in HBM (reference
         # CheckpointFunction, diffusionmodules/util.py:102-149)
+        if self.use_checkpoint not in (True, False, "transformer"):
+            raise ValueError(
+                f"use_checkpoint={self.use_checkpoint!r}: expected True, "
+                'False, or "transformer" (a typo here would silently '
+                "disable remat and OOM 512-config training)"
+            )
         res_block_cls = (
             nn.remat(ResBlock) if self.use_checkpoint is True else ResBlock
         )

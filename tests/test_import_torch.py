@@ -306,3 +306,57 @@ def test_conv_numeric_parity_after_import():
     }
     ours = np.asarray(c.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
     np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+def test_import_lidar_stage_from_config(tmp_path):
+    """lidar_stage_config.params.ckpt_path auto-load (reference
+    ddpm.py:546-562): existing file overlays the lidar VAE leaves; a missing
+    file warns and leaves params untouched."""
+    import torch
+
+    from mobi_tpu.import_torch import import_lidar_stage_from_config
+    from mobi_tpu.models.vae import AutoencoderKL
+
+    vae = AutoencoderKL(
+        embed_dim=4, ch=16, ch_mult=(1, 2), num_res_blocks=1, resolution=32,
+        z_channels=4, out_ch=2, lidar_adapter=True,
+    )
+    init = vae.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 2)), jax.random.PRNGKey(1)
+    )["params"]
+    params = {"vae_lidar": init, "unet": {"w": np.zeros((2, 2), np.float32)}}
+
+    ckpt = tmp_path / "range_autoencoder.ckpt"
+    torch.save(
+        {"state_dict": torch_vae_state_dict(in_ch=2, out_ch=2, lidar_adapter=True)},
+        ckpt,
+    )
+    cfg = {
+        "range_height": 32,
+        "model": {"params": {
+            "use_lidar": True,
+            "lidar_stage_config": {"params": {
+                "ckpt_path": str(ckpt),
+                "ddconfig": {
+                    "ch": 16, "ch_mult": [1, 2], "num_res_blocks": 1,
+                    "resolution": 32, "lidar_adapter": True,
+                    "attn_resolutions": [],
+                },
+            }},
+        }},
+    }
+    out = import_lidar_stage_from_config(cfg, params)
+    # lidar leaves replaced, other trees untouched
+    changed = jax.tree_util.tree_map(
+        lambda a, b: bool(np.any(np.asarray(a) != np.asarray(b))),
+        params["vae_lidar"], out["vae_lidar"],
+    )
+    assert any(jax.tree_util.tree_leaves(changed))
+    np.testing.assert_array_equal(out["unet"]["w"], params["unet"]["w"])
+
+    # missing file: unchanged params, no raise
+    cfg["model"]["params"]["lidar_stage_config"]["params"]["ckpt_path"] = (
+        str(tmp_path / "nope.ckpt")
+    )
+    out2 = import_lidar_stage_from_config(cfg, params)
+    assert out2 is params

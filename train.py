@@ -147,7 +147,18 @@ def main(argv=None):
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(template=state)
         print(f"Resumed from step {int(state.step)}")
-    elif args.pretrained_model:
+        resumed = True
+    else:
+        # reference parity: lidar_stage_config.params.ckpt_path auto-loads
+        # the pretrained range autoencoder at construction (ddpm.py:546-562),
+        # before any --pretrained_model overlay
+        from mobi_tpu.import_torch import import_lidar_stage_from_config
+
+        state = state._replace(
+            params=import_lidar_stage_from_config(cfg, state.params)
+        )
+        resumed = False
+    if not resumed and args.pretrained_model:
         print(f"Loading pretrained weights from {args.pretrained_model}")
         sd = load_torch_checkpoint(args.pretrained_model)
         from mobi_tpu.import_torch import import_mobi_checkpoint
