@@ -107,9 +107,15 @@ def load_torch_checkpoint(path: str) -> dict:
     return to_numpy_state_dict(sd)
 
 
-def install_crash_save(save_fn: Callable[[], None]):
-    """SIGUSR1 -> checkpoint now; SIGTERM -> checkpoint + exit
-    (reference main.py:702-719 melk/divein)."""
+def install_crash_save(save_fn: Callable[[], None],
+                       post_mortem_fn: Optional[Callable[[Any], None]] = None):
+    """SIGUSR1 -> checkpoint now; SIGTERM -> checkpoint + exit; SIGUSR2 ->
+    post-mortem (reference main.py:701-719 melk/divein).
+
+    The reference's divein drops into pudb; the equivalent here dumps every
+    thread's stack (so a wedged run can be diagnosed without killing it) and,
+    when stdin is a tty or MOBI_PDB=1, opens pdb at the interrupted frame.
+    Pass `post_mortem_fn(frame)` to override."""
 
     def _usr1(signum, frame):
         save_fn()
@@ -118,5 +124,22 @@ def install_crash_save(save_fn: Callable[[], None]):
         save_fn()
         raise SystemExit(143)
 
+    def _usr2(signum, frame):
+        if post_mortem_fn is not None:
+            post_mortem_fn(frame)
+            return
+        import faulthandler
+        import sys
+
+        print("SIGUSR2: dumping all thread stacks", file=sys.stderr, flush=True)
+        faulthandler.dump_traceback(file=sys.stderr)
+        if os.environ.get("MOBI_PDB") == "1" or (
+            hasattr(sys.stdin, "isatty") and sys.stdin.isatty()
+        ):
+            import pdb
+
+            pdb.Pdb().set_trace(frame)
+
     signal.signal(signal.SIGUSR1, _usr1)
     signal.signal(signal.SIGTERM, _term)
+    signal.signal(signal.SIGUSR2, _usr2)

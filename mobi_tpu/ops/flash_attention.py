@@ -1,4 +1,4 @@
-"""Pallas TPU flash attention (forward) with an XLA-recompute backward.
+"""Pallas TPU flash attention, forward and streaming backward.
 
 Used for the UNet's 4096-token self-attention at the full-resolution level
 (64x64 latent, reference attention.py:230-266 runs it O(N^2) in HBM); this
@@ -10,9 +10,13 @@ keys/values are streamed in TILE_K chunks with an fori_loop. Accumulation is
 float32 regardless of input dtype. Head dims here are 40/80/160 (ch/heads) —
 the MXU pads lanes to 128, which still beats spilling the 4096^2 logits.
 
-Backward: jax.custom_vjp recomputes attention with the XLA path and
-differentiates that — correct gradients, one extra forward; the training path
-can also select backend="xla" outright.
+Backward (default, `_BWD_MODE == "pallas"`): streaming flash backward — the
+forward also emits the per-row logsumexp, and two Pallas kernels recompute
+the probability tiles in VMEM to accumulate dq (grid over query tiles) and
+dk/dv (grid over key tiles), so the N x N matrices never hit HBM in either
+direction. `MOBI_FLASH_BWD=xla` instead wraps a jax.custom_vjp that
+recomputes attention with the XLA path and differentiates that; the training
+path can also select backend="xla" outright.
 """
 from __future__ import annotations
 

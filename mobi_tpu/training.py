@@ -45,6 +45,112 @@ def lambda_linear_schedule(
     return schedule
 
 
+def lambda_warmup_cosine_schedule(
+    base_lr: float,
+    warm_up_steps: int,
+    lr_min: float,
+    lr_max: float,
+    lr_start: float,
+    max_decay_steps: int,
+) -> optax.Schedule:
+    """LambdaWarmUpCosineScheduler (/root/reference/ldm/lr_scheduler.py:4-33):
+    linear warmup lr_start->lr_max, then half-cosine decay to lr_min over
+    max_decay_steps (clamped after)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = lr_start + (lr_max - lr_start) * step / max(warm_up_steps, 1)
+        t = (step - warm_up_steps) / max(max_decay_steps - warm_up_steps, 1)
+        t = jnp.minimum(t, 1.0)
+        cos = lr_min + 0.5 * (lr_max - lr_min) * (1.0 + jnp.cos(t * jnp.pi))
+        return base_lr * jnp.where(step < warm_up_steps, warm, cos)
+
+    return schedule
+
+
+def multi_cycle_schedule(
+    base_lr: float,
+    warm_up_steps,
+    f_min,
+    f_max,
+    f_start,
+    cycle_lengths,
+    shape: str = "linear",
+) -> optax.Schedule:
+    """The reference's list-parameterized repeating schedulers
+    (/root/reference/ldm/lr_scheduler.py:36-98): per-cycle linear warmup
+    f_start->f_max, then either a linear ramp toward f_min across the cycle
+    (LambdaLinearScheduler, :81-97) or a half-cosine from f_max to f_min over
+    the post-warmup portion, clamped (LambdaWarmUpCosineScheduler2, :59-75).
+
+    jit-safe: the cycle index is a searchsorted over the precomputed
+    cumulative cycle boundaries (the reference's find_in_interval, :52-57,
+    whose `n <= boundary` test is searchsorted side='left')."""
+    import numpy as np
+
+    warm_up_steps = np.asarray(warm_up_steps, np.float32)
+    f_min = np.asarray(f_min, np.float32)
+    f_max = np.asarray(f_max, np.float32)
+    f_start = np.asarray(f_start, np.float32)
+    cycle_lengths = np.asarray(cycle_lengths, np.float32)
+    assert (
+        warm_up_steps.shape == f_min.shape == f_max.shape
+        == f_start.shape == cycle_lengths.shape
+    ), "per-cycle parameter lists must have equal lengths"
+    if shape not in ("linear", "cosine"):
+        raise ValueError(f"unknown schedule shape {shape!r}")
+    cum = np.concatenate([[0.0], np.cumsum(cycle_lengths)])
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        cycle = jnp.clip(
+            jnp.searchsorted(jnp.asarray(cum[1:]), step, side="left"),
+            0, len(cycle_lengths) - 1,
+        )
+        n = step - jnp.asarray(cum[:-1])[cycle]
+        wu = jnp.asarray(warm_up_steps)[cycle]
+        fs, fm, fx = (jnp.asarray(f_start)[cycle], jnp.asarray(f_min)[cycle],
+                      jnp.asarray(f_max)[cycle])
+        cl = jnp.asarray(cycle_lengths)[cycle]
+        warm = fs + (fx - fs) * n / jnp.maximum(wu, 1.0)
+        if shape == "linear":
+            after = fm + (fx - fm) * (cl - n) / cl
+        else:
+            t = jnp.minimum((n - wu) / jnp.maximum(cl - wu, 1.0), 1.0)
+            after = fm + 0.5 * (fx - fm) * (1.0 + jnp.cos(t * jnp.pi))
+        return base_lr * jnp.where(n < wu, warm, after)
+
+    return schedule
+
+
+def schedule_from_config(
+    base_lr: float, scheduler_config: Optional[dict]
+) -> optax.Schedule:
+    """Build the LR schedule named by the config's scheduler_config block
+    (e.g. configs/mobi_nusc_512.yaml:54-61). Unset -> the shipped MObI
+    default (LambdaLinear, 200 warmup steps)."""
+    if not scheduler_config:
+        return lambda_linear_schedule(base_lr)
+    target = str(scheduler_config.get("target", "")).rsplit(".", 1)[-1]
+    p = scheduler_config.get("params", {})
+    if target == "LambdaLinearScheduler":
+        return multi_cycle_schedule(
+            base_lr, p["warm_up_steps"], p["f_min"], p["f_max"],
+            p["f_start"], p["cycle_lengths"], shape="linear",
+        )
+    if target == "LambdaWarmUpCosineScheduler2":
+        return multi_cycle_schedule(
+            base_lr, p["warm_up_steps"], p["f_min"], p["f_max"],
+            p["f_start"], p["cycle_lengths"], shape="cosine",
+        )
+    if target == "LambdaWarmUpCosineScheduler":
+        return lambda_warmup_cosine_schedule(
+            base_lr, p["warm_up_steps"], p["lr_min"], p["lr_max"],
+            p["lr_start"], p["max_decay_steps"],
+        )
+    raise ValueError(f"unknown scheduler target {scheduler_config.get('target')!r}")
+
+
 def make_optimizer(
     model: MobiDiffusion,
     params: Params,
@@ -52,6 +158,7 @@ def make_optimizer(
     warm_up_steps: int = 200,
     weight_decay: float = 1e-2,
     accumulate_steps: int = 1,
+    schedule: Optional[optax.Schedule] = None,
 ) -> optax.GradientTransformation:
     """AdamW restricted to the trainable (adapter) partition.
 
@@ -63,7 +170,7 @@ def make_optimizer(
     mask = model.trainable_mask(params)
     not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
     tx = optax.adamw(
-        learning_rate=lambda_linear_schedule(base_lr, warm_up_steps),
+        learning_rate=schedule or lambda_linear_schedule(base_lr, warm_up_steps),
         b1=0.9,
         b2=0.999,
         eps=1e-8,
@@ -92,12 +199,17 @@ def create_train_state(
     use_ema: bool = False,
     accumulate_steps: int = 1,
     params: Optional[Params] = None,
+    scheduler_config: Optional[dict] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Build (TrainState, optimizer). Pass `params` to start from existing
     (e.g. torch-imported pretrained) weights instead of a fresh init."""
     if params is None:
         params = model.init_params(rng)
-    tx = make_optimizer(model, params, base_lr, accumulate_steps=accumulate_steps)
+    tx = make_optimizer(
+        model, params, base_lr, accumulate_steps=accumulate_steps,
+        schedule=(schedule_from_config(base_lr, scheduler_config)
+                  if scheduler_config else None),
+    )
     opt_state = tx.init(params)
     ema = ema_init(params["unet"]) if use_ema else None
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema), tx

@@ -30,6 +30,94 @@ def test_lambda_linear_schedule_matches_reference():
     np.testing.assert_allclose(float(sched(100000)), 8e-5, rtol=1e-4)
 
 
+def _reference_lr_module():
+    """Import the reference's pure-numpy lr_scheduler.py as a golden oracle."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_lr_scheduler", "/root/reference/ldm/lr_scheduler.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_multi_cycle_linear_matches_reference():
+    """Multi-cycle LambdaLinearScheduler golden parity, incl. cycle
+    boundaries (lr_scheduler.py:81-97)."""
+    ref = _reference_lr_module()
+    from mobi_tpu.training import multi_cycle_schedule
+
+    kw = dict(warm_up_steps=[10, 5], f_start=[1e-6, 0.5], f_max=[1.0, 0.8],
+              f_min=[0.1, 0.2], cycle_lengths=[100, 200])
+    golden = ref.LambdaLinearScheduler(**kw)
+    sched = multi_cycle_schedule(1.0, shape="linear", **kw)
+    for n in [0, 3, 9, 10, 11, 50, 99, 100, 101, 104, 105, 106, 200, 299, 300]:
+        np.testing.assert_allclose(
+            float(sched(n)), golden(n), rtol=1e-5, err_msg=f"step {n}"
+        )
+
+
+def test_multi_cycle_cosine_matches_reference():
+    """LambdaWarmUpCosineScheduler2 golden parity (lr_scheduler.py:36-78)."""
+    ref = _reference_lr_module()
+    from mobi_tpu.training import multi_cycle_schedule
+
+    kw = dict(warm_up_steps=[10, 5], f_start=[1e-6, 0.5], f_max=[1.0, 0.8],
+              f_min=[0.1, 0.2], cycle_lengths=[100, 200])
+    golden = ref.LambdaWarmUpCosineScheduler2(**kw)
+    sched = multi_cycle_schedule(1.0, shape="cosine", **kw)
+    for n in [0, 9, 10, 11, 55, 99, 100, 101, 105, 106, 150, 299, 300]:
+        np.testing.assert_allclose(
+            float(sched(n)), golden(n), rtol=1e-5, atol=1e-7, err_msg=f"step {n}"
+        )
+
+
+def test_warmup_cosine_matches_reference():
+    """LambdaWarmUpCosineScheduler golden parity incl. the post-decay clamp
+    (lr_scheduler.py:4-33)."""
+    ref = _reference_lr_module()
+    from mobi_tpu.training import lambda_warmup_cosine_schedule
+
+    golden = ref.LambdaWarmUpCosineScheduler(
+        warm_up_steps=20, lr_min=0.05, lr_max=1.0, lr_start=1e-4,
+        max_decay_steps=200,
+    )
+    sched = lambda_warmup_cosine_schedule(
+        1.0, warm_up_steps=20, lr_min=0.05, lr_max=1.0, lr_start=1e-4,
+        max_decay_steps=200,
+    )
+    for n in [0, 5, 19, 20, 21, 100, 199, 200, 500]:
+        np.testing.assert_allclose(
+            float(sched(n)), golden(n), rtol=1e-5, err_msg=f"step {n}"
+        )
+
+
+def test_schedule_from_config_selects_and_jits():
+    """Config-driven selection (mobi_nusc_512.yaml:54-61 form) and jit
+    compatibility (the schedule runs inside the compiled train step)."""
+    from mobi_tpu.training import schedule_from_config
+
+    cfg = {
+        "target": "ldm.lr_scheduler.LambdaLinearScheduler",
+        "params": {"warm_up_steps": [200], "cycle_lengths": [10000000000000],
+                   "f_start": [1e-6], "f_max": [1.0], "f_min": [1.0]},
+    }
+    sched = schedule_from_config(8e-5, cfg)
+    np.testing.assert_allclose(float(jax.jit(sched)(200)), 8e-5, rtol=1e-4)
+    np.testing.assert_allclose(float(sched(0)), 8e-5 * 1e-6, rtol=1e-4)
+
+    cos = schedule_from_config(1.0, {
+        "target": "ldm.lr_scheduler.LambdaWarmUpCosineScheduler2",
+        "params": {"warm_up_steps": [10], "cycle_lengths": [100],
+                   "f_start": [0.0], "f_max": [1.0], "f_min": [0.0]},
+    })
+    np.testing.assert_allclose(float(cos(55)), 0.5, atol=1e-4)
+
+    with pytest.raises(ValueError):
+        schedule_from_config(1.0, {"target": "nope.NotAScheduler"})
+
+
 @pytest.fixture(scope="module")
 def tiny_setup():
     from tests.helpers import perturb_params

@@ -15,7 +15,6 @@ fixed-shape NHWC numpy batches. LR scaling rule mirrors main.py:690-694
 from __future__ import annotations
 
 import argparse
-import json
 import os
 import sys
 import time
@@ -50,6 +49,9 @@ def parse_args(argv=None):
     p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--num_workers", type=int, default=4)
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--platform", default=None, choices=["cpu"],
+                   help="force the jax platform (cpu smoke runs on a machine "
+                        "whose default backend is a TPU)")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax profiler trace of steps 10-15 into "
                         "this directory (tensorboard-compatible)")
@@ -116,9 +118,15 @@ def main(argv=None):
     if args.max_steps is None and cfg.get("trainer", {}).get("max_steps"):
         args.max_steps = int(cfg["trainer"]["max_steps"])
 
+    if args.platform:
+        devices = jax.devices(args.platform)
+        jax.config.update("jax_default_device", devices[0])
+    else:
+        devices = jax.devices()
+
     base_lr = cfg["model"].get("base_learning_rate", 8.0e-5)
     datasets, batch_size = build_datasets(cfg)
-    n_devices = len(jax.devices())
+    n_devices = len(devices)
     if args.scale_lr:
         base_lr = args.accumulate_grad_batches * n_devices * batch_size * base_lr
         print(f"LR scaled to {base_lr} "
@@ -139,6 +147,7 @@ def main(argv=None):
         accumulate_steps=args.accumulate_grad_batches,
         use_ema=cfg["model"]["params"].get("use_ema", False),
         params=init_params,
+        scheduler_config=cfg["model"]["params"].get("scheduler_config"),
     )
 
     ckpt_dir = os.path.join(logdir, "checkpoints")
@@ -217,7 +226,7 @@ def main(argv=None):
             state.params, fmask,
         ))
 
-    mesh = create_mesh(fsdp=args.fsdp)
+    mesh = create_mesh(fsdp=args.fsdp, devices=devices)
     state = state._replace(
         params=shard_params(mesh, state.params),
         opt_state=jax.device_put(state.opt_state),
@@ -269,7 +278,11 @@ def main(argv=None):
         out["lidar"]["cond"] = {"ref_bbox": batch["lidar"]["cond"]["ref_bbox"]}
         return out
 
-    metrics_path = os.path.join(logdir, "metrics.jsonl")
+    # metrics logger stack (reference main.py:539-563 logger selection):
+    # metrics.jsonl always; `lightning.logger` in the config adds csv/wandb
+    from mobi_tpu.utils.loggers import logger_from_config
+
+    metrics_logger = logger_from_config(cfg, logdir)
     crash_saved = {"done": False}
 
     def crash_save():
@@ -289,7 +302,7 @@ def main(argv=None):
     image_logger = ImageLogger(
         model, mcfg, logdir, every=args.image_log_every,
         sample_steps=args.image_log_steps, max_items=args.image_log_max,
-        metrics_path=metrics_path,
+        metrics_logger=metrics_logger,
     )
 
     step = int(state.step)
@@ -323,16 +336,14 @@ def main(argv=None):
                     t_last = time.time()
                     m.update(step=step, epoch=epoch,
                              imgs_per_sec=args.log_every * batch_size / dt)
-                    with open(metrics_path, "a") as f:
-                        f.write(json.dumps({f"train/{k}" if "/" not in k else k: v
-                                            for k, v in m.items()}) + "\n")
+                    metrics_logger.log({f"train/{k}" if "/" not in k else k: v
+                                        for k, v in m.items()})
                     print(f"step {step} loss {m.get('loss'):.4f} "
                           f"({m['imgs_per_sec']:.2f} img/s)")
                 if step % args.val_every == 0 and val_loader is not None:
                     vm = validate(model, state, val_loader, strip_host_fields,
                                   mesh, rng)
-                    with open(metrics_path, "a") as f:
-                        f.write(json.dumps({**vm, "step": step}) + "\n")
+                    metrics_logger.log(vm, step=step)
                     mgr.save(step, jax.device_get(state), metrics=vm)
                 elif step % args.save_every == 0:
                     mgr.save(step, jax.device_get(state),
@@ -355,8 +366,7 @@ def main(argv=None):
                     )
             except Exception:
                 pass
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(epoch_rec) + "\n")
+            metrics_logger.log(epoch_rec)
             print(f"epoch {epoch} done in {epoch_rec['train/epoch_time_s']:.1f}s")
             t_epoch = time.time()
     except Exception:
@@ -403,14 +413,14 @@ class ImageLogger:
     MSE and median error)."""
 
     def __init__(self, model, mcfg, logdir, every=400, sample_steps=20,
-                 max_items=2, metrics_path=None):
+                 max_items=2, metrics_logger=None):
         self.model = model
         self.mcfg = mcfg
         self.dir = os.path.join(logdir, "images")
         self.every = max(int(every), 1)
         self.steps = sample_steps
         self.max_items = max_items
-        self.metrics_path = metrics_path
+        self.metrics_logger = metrics_logger
         self._fn = None
 
     def _build(self):
@@ -496,9 +506,8 @@ class ImageLogger:
                 metrics = {f"imagelog/{k}": float(v) for k, v in m.items()}
             except KeyError:
                 pass  # host-side fields absent (e.g. synthetic batches)
-        if metrics and self.metrics_path:
-            with open(self.metrics_path, "a") as f:
-                f.write(json.dumps({**metrics, "step": step}) + "\n")
+        if metrics and self.metrics_logger:
+            self.metrics_logger.log(metrics, step=step)
         return metrics
 
 
