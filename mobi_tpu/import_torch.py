@@ -423,6 +423,32 @@ def import_mobi_checkpoint(
     return params
 
 
+def extract_ema_state_dict(state_dict):
+    """LitEma buffers -> a 'model.*'-keyed state dict holding EMA values.
+
+    The reference stores EMA shadows as flat buffers named by the tracked
+    parameter's name with the dots removed (/root/reference/ldm/modules/
+    ema.py:16-21), saved under the 'model_ema.' module prefix. Rebuilds a
+    dict keyed like the live 'model.*' entries with the EMA value where one
+    is tracked and the live value otherwise (the reference's copy_to only
+    overwrites tracked params, ema.py:52-60).
+
+    Returns (state_dict, num_updates) — (None, None) when the checkpoint
+    holds no EMA."""
+    sd = to_numpy_state_dict(state_dict)
+    ema = {k[len("model_ema."):]: v for k, v in sd.items()
+           if k.startswith("model_ema.")}
+    if not ema:
+        return None, None
+    num_updates = ema.pop("num_updates", None)
+    ema.pop("decay", None)
+    out = {}
+    for k, v in sd.items():
+        if k.startswith("model.") and not k.startswith("model_ema."):
+            out[k] = ema.get(k[len("model."):].replace(".", ""), v)
+    return out, num_updates
+
+
 def merge_imported(base: Params, imported: Params) -> Params:
     """Overlay imported values on an init tree (strict=False semantics of the
     reference's partial checkpoint load, ddpm.py:196-212), with shape checks."""

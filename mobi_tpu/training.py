@@ -215,6 +215,18 @@ def create_train_state(
     return TrainState(jnp.zeros((), jnp.int32), params, opt_state, ema), tx
 
 
+def params_with_ema(state: TrainState) -> Params:
+    """The params tree with the UNet subtree swapped for its EMA average —
+    the functional equivalent of the reference's `ema_scope`
+    (/root/reference/ldm/models/diffusion/ddpm.py:181-194), which copies the
+    EMA into the model for validation/sampling and restores after. Identity
+    when no EMA is kept (use_ema False), matching the reference's no-op
+    scope."""
+    if state.ema is None:
+        return state.params
+    return {**state.params, "unet": state.ema.ema_params}
+
+
 def make_train_step(
     model: MobiDiffusion,
     tx: optax.GradientTransformation,

@@ -89,6 +89,7 @@ def main(argv=None):
     cfg = load_config([opt.config], [s for s in opt.overrides if "=" in s])
     mcfg = mobi_config_from_yaml(cfg)
     model = MobiDiffusion(mcfg)
+    use_ema = bool(cfg["model"]["params"].get("use_ema", False))
     rng = jax.random.PRNGKey(opt.seed)
     if opt.ckpt and os.path.isdir(opt.ckpt):
         # orbax dir: the restored tree is complete, so skip the expensive
@@ -103,14 +104,32 @@ def main(argv=None):
         if base.isdigit():
             ckpt_dir, step = os.path.dirname(os.path.normpath(ckpt_dir)), int(base)
         mgr = CheckpointManager(ckpt_dir)
-        params = mgr.restore(step=step)["params"]
+        restored = mgr.restore(step=step)
+        params = restored["params"]
+        # sample under ema_scope like the reference bench
+        # (/root/reference/scripts/inference_test_bench.py:405): with
+        # use_ema the orbax state carries the EMA shadow of the UNet.
+        if use_ema and restored.get("ema") is not None:
+            params = {**params, "unet": restored["ema"]["ema_params"]}
+            print("using EMA weights for sampling (ema_scope)")
     else:
         params = model.init_params(rng)
     if opt.ckpt and not os.path.isdir(opt.ckpt):
         print(f"loading checkpoint {opt.ckpt}")
-        from mobi_tpu.import_torch import import_mobi_checkpoint
+        from mobi_tpu.import_torch import (
+            extract_ema_state_dict,
+            import_mobi_checkpoint,
+        )
 
         sd = load_torch_checkpoint(opt.ckpt)
+        if use_ema:
+            # reference ema_scope at sampling: overlay the LitEma shadows
+            # (model_ema.* buffers) onto the live model.* entries before
+            # the key-mapped import (ldm/modules/ema.py:52-60).
+            ema_sd, _ = extract_ema_state_dict(sd)
+            if ema_sd is not None:
+                sd = {**sd, **ema_sd}
+                print("using EMA weights for sampling (ema_scope)")
         imported = import_mobi_checkpoint(
             sd,
             channel_mult=tuple(mcfg.unet_channel_mult),

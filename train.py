@@ -151,8 +151,11 @@ def main(argv=None):
     )
 
     ckpt_dir = os.path.join(logdir, "checkpoints")
+    # best-checkpoint selection key from the config (reference ModelCheckpoint
+    # monitor, main.py:567-580; the shipped configs watch val/loss_simple_ema)
+    monitor = cfg["model"]["params"].get("monitor", "val/loss_simple")
     mgr = CheckpointManager(ckpt_dir, max_to_keep=args.save_top_k,
-                            monitor="val/loss_simple")
+                            monitor=monitor)
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(template=state)
         print(f"Resumed from step {int(state.step)}")
@@ -347,7 +350,7 @@ def main(argv=None):
                     mgr.save(step, jax.device_get(state), metrics=vm)
                 elif step % args.save_every == 0:
                     mgr.save(step, jax.device_get(state),
-                             metrics={"val/loss_simple": float(m.get("loss_simple", 0))})
+                             metrics={monitor: float(m.get("loss_simple", 0))})
                 if step >= max_steps:
                     break
             epoch += 1
@@ -381,12 +384,17 @@ def validate(model, state, val_loader, strip, mesh, rng, num_batches=8,
              t_draws=4):
     """Validation loss averaged over `t_draws` independent timestep/noise
     draws per batch — the single-draw estimate is far too noisy to drive
-    checkpoint selection (the reference monitors an epoch-level EMA of
-    val/loss_simple, mobi_nusc_512.yaml:43)."""
+    checkpoint selection. Logs both val/loss_simple (live weights) and
+    val/loss_simple_ema (EMA weights via ema_scope) like the reference
+    validation_step (ddpm.py:370-377); with use_ema off the _ema entry
+    equals the live one (the reference's no-op ema_scope) without paying a
+    second forward. The shipped configs monitor val/loss_simple_ema
+    (mobi_nusc_512.yaml:43)."""
     import jax
     import jax.numpy as jnp
 
     from mobi_tpu.parallel.mesh import shard_batch
+    from mobi_tpu.training import params_with_ema
 
     def multi_t_loss(p, b, r):
         keys = jax.random.split(r, t_draws)
@@ -396,14 +404,21 @@ def validate(model, state, val_loader, strip, mesh, rng, num_batches=8,
         return losses.mean()
 
     eval_loss = jax.jit(multi_t_loss)
-    losses = []
+    ema_params = params_with_ema(state) if state.ema is not None else None
+    losses, losses_ema = [], []
     for i, batch in enumerate(val_loader):
         if i >= num_batches:
             break
         rng, sub = jax.random.split(rng)
         with mesh:
-            losses.append(float(eval_loss(state.params, shard_batch(mesh, strip(batch)), sub)))
-    return {"val/loss_simple": float(np.mean(losses)) if losses else float("nan")}
+            b = shard_batch(mesh, strip(batch))
+            losses.append(float(eval_loss(state.params, b, sub)))
+            if ema_params is not None:
+                # same rng draw: the EMA delta is isolated from t/noise noise
+                losses_ema.append(float(eval_loss(ema_params, b, sub)))
+    live = float(np.mean(losses)) if losses else float("nan")
+    ema = float(np.mean(losses_ema)) if losses_ema else live
+    return {"val/loss_simple": live, "val/loss_simple_ema": ema}
 
 
 class ImageLogger:
@@ -453,7 +468,11 @@ class ImageLogger:
             self._build()
         n = self.max_items
         small = jax.tree_util.tree_map(lambda x: x[:n], strip(batch))
-        out = self._fn(state.params, small, rng)
+        # sample with EMA weights when kept — the reference's
+        # `ema_scope("Plotting")` around log_images (ddpm.py:1459)
+        from mobi_tpu.training import params_with_ema
+
+        out = self._fn(params_with_ema(state), small, rng)
         os.makedirs(self.dir, exist_ok=True)
 
         metrics = {}
