@@ -44,6 +44,12 @@ import numpy as np
 # the largest passing size — 22+ hit a TPU device fault
 # (PROFILE.md batch-scaling table). MOBI_BENCH_BATCH_PAIRS overrides.
 BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "20"))
+# dp-sharded inference over N devices (mobi_tpu.pipeline): per-chip batch
+# stays BATCH_PAIRS, the global batch is BATCH_PAIRS * N, and the reported
+# value stays per-chip. 1 (default) = the single-chip program; >1 needs N
+# devices (the v5e here has one — use JAX_PLATFORMS=cpu +
+# --xla_force_host_platform_device_count for a scaling smoke).
+MESH_DP = int(os.environ.get("MOBI_BENCH_MESH_DP", "1"))
 STEPS = 50
 GUIDANCE = 5.0
 TARGET_PER_HOUR = 1000.0
@@ -128,29 +134,38 @@ def main():
             params,
         )
         log("params pre-cast to bf16 (>=2-D leaves)")
-    dev = jax.devices()[0]
-    log(f"transferring params to {dev.platform} ...")
-    t_x = time.perf_counter()
-    params = jax.device_put(params, dev)
-    batch = jax.device_put(batch, dev)
-    jax.block_until_ready(params)
-    log(f"transfer done in {time.perf_counter() - t_x:.1f}s")
+    mesh = None
+    if MESH_DP > 1:
+        from mobi_tpu.parallel.mesh import shard_batch
+        from mobi_tpu.pipeline import inference_mesh, replicate_params
+
+        mesh = inference_mesh(dp=MESH_DP)
+        batch = make_batch(BATCH_PAIRS * MESH_DP)  # per-chip batch constant
+        log(f"dp-sharded over {MESH_DP} devices; transferring params ...")
+        t_x = time.perf_counter()
+        params = replicate_params(mesh, params)
+        batch = shard_batch(mesh, batch)
+        jax.block_until_ready(params)
+        log(f"transfer done in {time.perf_counter() - t_x:.1f}s")
+    else:
+        dev = jax.devices()[0]
+        log(f"transferring params to {dev.platform} ...")
+        t_x = time.perf_counter()
+        params = jax.device_put(params, dev)
+        batch = jax.device_put(batch, dev)
+        jax.block_until_ready(params)
+        log(f"transfer done in {time.perf_counter() - t_x:.1f}s")
 
     # default 1 = the faithful reference DDIM; >1 measures the opt-in
     # encoder-propagation mode (PROFILE.md) — never the headline number
     enc_interval = int(os.environ.get("MOBI_BENCH_ENCODER_INTERVAL", "1"))
 
-    @jax.jit
-    def inpaint(params, batch, rng):
-        k1, k2 = jax.random.split(rng)
-        data = model.get_input(params, batch, k1, encode_cond=True)
-        latents = model.sample(
-            params, data, k2, num_steps=STEPS, guidance_scale=GUIDANCE,
-            sampler="ddim", encoder_interval=enc_interval,
-        )
-        return model.decode_sample(
-            params, latents, data.get("z_lidar_full"), data.get("lidar_geom")
-        )
+    from mobi_tpu.pipeline import make_inpaint_pipeline
+
+    inpaint = make_inpaint_pipeline(
+        model, num_steps=STEPS, guidance_scale=GUIDANCE, sampler="ddim",
+        encoder_interval=enc_interval, mesh=mesh,
+    )
 
     # warmup / compile
     log("compiling + first run (cold compile can take many minutes)")
@@ -159,29 +174,43 @@ def main():
     jax.block_until_ready(out)
     log(f"warmup done in {time.perf_counter() - t_c:.1f}s; timing")
 
+    # depth-1 lookahead (MOBI_BENCH_LOOKAHEAD=0 for the serial A/B): batch
+    # N+1 is dispatched BEFORE batch N's result probe is fetched, so the
+    # device-side queue always holds the next program and the host's
+    # fetch+dispatch round-trip (tunnel latency on this runtime) overlaps
+    # compute instead of serializing after it. Every iteration still
+    # fetches a scalar probe — on the tunneled runtime block_until_ready
+    # can resolve before execution finishes (async dispatch); a host read
+    # of the result cannot — the probe is just one batch behind.
+    lookahead = os.environ.get("MOBI_BENCH_LOOKAHEAD", "1") == "1"
     n_iters = 3
     t0 = time.perf_counter()
+    prev = None
     for i in range(n_iters):
         out = inpaint(params, batch, jax.random.PRNGKey(2 + i))
-        # fetch a scalar to host: on the tunneled runtime block_until_ready
-        # can resolve before execution finishes (async dispatch); a host
-        # read of the result cannot
-        _ = float(out["camera"].reshape(-1)[0])
+        if not lookahead:
+            _ = float(out["camera"].reshape(-1)[0])
+        elif prev is not None:
+            _ = float(prev["camera"].reshape(-1)[0])
+        prev = out
+    if lookahead:
+        _ = float(prev["camera"].reshape(-1)[0])
     dt = (time.perf_counter() - t0) / n_iters
-    log(f"steady-state {dt:.2f}s per batch of {BATCH_PAIRS}")
+    global_pairs = BATCH_PAIRS * MESH_DP
+    log(f"steady-state {dt:.2f}s per global batch of {global_pairs}")
 
-    inpaints_per_sec = BATCH_PAIRS / dt
-    per_hour = inpaints_per_sec * 3600.0
-    print(
-        json.dumps(
-            {
-                "metric": "joint cam+lidar 512x512 DDIM-50 CFG-5 inpaints (full pipeline: cond encode + 2x VAE enc/dec + UNet scan)",
-                "value": round(per_hour, 1),
-                "unit": "inpaints/hour/chip",
-                "vs_baseline": round(per_hour / TARGET_PER_HOUR, 3),
-            }
-        )
-    )
+    inpaints_per_sec = global_pairs / dt
+    per_hour_per_chip = inpaints_per_sec * 3600.0 / MESH_DP
+    record = {
+        "metric": "joint cam+lidar 512x512 DDIM-50 CFG-5 inpaints (full pipeline: cond encode + 2x VAE enc/dec + UNet scan)",
+        "value": round(per_hour_per_chip, 1),
+        "unit": "inpaints/hour/chip",
+        "vs_baseline": round(per_hour_per_chip / TARGET_PER_HOUR, 3),
+    }
+    if MESH_DP > 1:
+        record["n_chips"] = MESH_DP
+        record["total_per_hour"] = round(per_hour_per_chip * MESH_DP, 1)
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -26,7 +26,17 @@ class PrefetchLoader:
         prefetch: int = 4,
         seed: int = 0,
         drop_last: bool = True,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """`batch_size` is per-process. With num_shards > 1 (multi-host:
+        shard_index = jax.process_index(), num_shards = jax.process_count())
+        every process computes the SAME seed-deterministic global epoch
+        order over global batches of batch_size * num_shards samples and
+        materializes only its contiguous slice — the torch
+        DistributedSampler analogue, laid out so the slices concatenate in
+        process order exactly as jax.make_array_from_process_local_data
+        expects (mesh.shard_batch)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -34,11 +44,19 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.seed = seed
         self.drop_last = drop_last
+        assert 0 <= shard_index < num_shards
+        self.shard_index = shard_index
+        self.num_shards = num_shards
         self._epoch = 0
 
+    @property
+    def global_batch_size(self) -> int:
+        return self.batch_size * self.num_shards
+
     def __len__(self) -> int:
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = len(self.dataset) // self.global_batch_size
+        if (not self.drop_last and self.num_shards == 1
+                and len(self.dataset) % self.global_batch_size):
             n += 1
         return n
 
@@ -48,12 +66,15 @@ class PrefetchLoader:
             np.random.default_rng(self.seed + self._epoch).shuffle(order)
         self._epoch += 1
 
-        batches = [
-            order[i : i + self.batch_size]
-            for i in range(0, len(order), self.batch_size)
-        ]
-        if self.drop_last:
-            batches = [b for b in batches if len(b) == self.batch_size]
+        gbs = self.global_batch_size
+        batches = [order[i : i + gbs] for i in range(0, len(order), gbs)]
+        if self.drop_last or self.num_shards > 1:
+            # multi-host never yields a ragged tail: every process must
+            # dispatch the same global shapes or the collectives deadlock
+            batches = [b for b in batches if len(b) == gbs]
+        if self.num_shards > 1:
+            lo = self.shard_index * self.batch_size
+            batches = [b[lo : lo + self.batch_size] for b in batches]
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()

@@ -215,7 +215,11 @@ class MobiDiffusion:
                 clone.cond_model = self.cond_model
             return clone.init_params(rng, on_cpu=on_cpu)
         if on_cpu:
-            cpu = jax.devices("cpu")[0]
+            # local_devices, not devices: on a multi-process runtime the
+            # global list starts with process 0's devices, which other
+            # processes cannot place computations on (init must be
+            # host-local; the mesh placement happens afterwards)
+            cpu = jax.local_devices(backend="cpu")[0]
             with jax.default_device(cpu):
                 return self._init_params_impl(rng)
         return self._init_params_impl(rng)

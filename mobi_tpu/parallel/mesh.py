@@ -13,9 +13,11 @@ a single SPMD program over a `jax.sharding.Mesh`:
 The camera/lidar interleave contract requires whole (camera, lidar) pairs per
 shard, so the global batch must be divisible by 2 * dp * fsdp.
 
-Multi-host would extend the same mesh over DCN via jax.distributed.initialize;
-nothing in this module assumes single-host except mesh construction from
-jax.devices().
+Multi-host: `parallel.distributed.initialize` joins the processes into one
+runtime, `create_mesh` builds the global mesh from jax.devices() (all
+processes' devices), and `shard_batch` assembles global batches from each
+process's local slice via jax.make_array_from_process_local_data. See
+tests/test_multihost.py for the 2-process loss-parity proof.
 """
 from __future__ import annotations
 
@@ -45,9 +47,34 @@ def create_mesh(
     )
     if tp > 1:
         dev_array = np.asarray(devices).reshape(dp, fsdp, tp)
-        return Mesh(dev_array, axis_names=("dp", "fsdp", "tp"))
-    dev_array = np.asarray(devices).reshape(dp, fsdp)
-    return Mesh(dev_array, axis_names=("dp", "fsdp"))
+        mesh = Mesh(dev_array, axis_names=("dp", "fsdp", "tp"))
+    else:
+        dev_array = np.asarray(devices).reshape(dp, fsdp)
+        mesh = Mesh(dev_array, axis_names=("dp", "fsdp"))
+    warmup_collectives(mesh)
+    return mesh
+
+
+def warmup_collectives(mesh: Mesh) -> None:
+    """Multi-process only: run one tiny all-reduce over the mesh's full
+    device clique so the cross-process communicator (gloo on CPU, ICI/DCN
+    on pods) rendezvouses NOW, while every process sits at the same
+    just-built-the-mesh point. The rendezvous has a short (~30s) timeout;
+    deferring it to the first real step lets a process whose step compile
+    ran long (or hit the compilation cache when its peer didn't) miss it.
+    The communicator is cached per device clique, so the training/inference
+    collectives over this mesh reuse it."""
+    if mesh_process_count(mesh) == 1:
+        return
+    all_axes = tuple(mesh.axis_names)
+    x = _host_to_global(
+        np.zeros((mesh.devices.size,), np.float32),
+        NamedSharding(mesh, P(all_axes)),
+    )
+    out = jax.jit(
+        lambda a: a.sum(), out_shardings=NamedSharding(mesh, P())
+    )(x)
+    jax.block_until_ready(out)
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -134,7 +161,32 @@ def param_shardings(mesh: Mesh, params: Params) -> Params:
 
 
 def shard_params(mesh: Mesh, params: Params) -> Params:
-    return jax.device_put(params, param_shardings(mesh, params))
+    shardings = param_shardings(mesh, params)
+    if mesh_process_count(mesh) == 1:
+        return jax.device_put(params, shardings)
+    # Multi-process: every process holds the SAME host tree (deterministic
+    # init / checkpoint restore), so each one materializes just its
+    # addressable shards. device_put would instead run a hidden
+    # multihost_utils.assert_equal collective PER LEAF — thousands of gloo
+    # ops racing the other processes' startup (measured: 30s rendezvous
+    # timeouts on a loaded host). make_array_from_callback runs none.
+    return jax.tree_util.tree_map(
+        lambda x, s: _host_to_global(x, s), params, shardings
+    )
+
+
+def _host_to_global(x, sharding: NamedSharding):
+    """Place a host value identical on all processes onto a (possibly
+    cross-process) sharding without any collective."""
+    arr = np.asarray(x)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
+def mesh_process_count(mesh: Mesh) -> int:
+    """Number of distinct processes whose devices participate in the mesh."""
+    return len({d.process_index for d in mesh.devices.flat})
 
 
 def shard_batch(mesh: Mesh, batch: Any, interleaved: bool = False) -> Any:
@@ -151,23 +203,45 @@ def shard_batch(mesh: Mesh, batch: Any, interleaved: bool = False) -> Any:
     odd-per-device split would make the cross-modal reshape
     (unet.py:110-111) span shards, which XLA keeps correct but pays a
     collective per transformer block for. Raises instead of silently
-    sharding."""
+    sharding.
+
+    Multi-process meshes (jax multi-controller over a pod or localhost
+    gloo): the leaves passed in are each process's LOCAL contiguous slice
+    of the global batch, in process order — the layout `PrefetchLoader`'s
+    shard args produce — and the returned leaves are GLOBAL arrays built
+    with `jax.make_array_from_process_local_data` (global leading axis =
+    local * num_processes). Non-divisible leaves raise: cross-process
+    replication of per-host data would silently use rank-0's values.
+    """
     n_shards = mesh.shape["dp"] * mesh.shape["fsdp"]
     sharding = batch_sharding(mesh)
     replicated = NamedSharding(mesh, P())
+    nproc = mesh_process_count(mesh)
 
     def put(x):
         if not (hasattr(x, "shape") and x.ndim >= 1):
+            # scalars etc. are identical on every process — collective-free
+            # placement (see shard_params)
+            if nproc > 1:
+                return _host_to_global(x, replicated)
             return jax.device_put(x, replicated)
-        b = x.shape[0]
+        b = x.shape[0] * nproc  # global batch axis
         if interleaved and b % n_shards == 0 and b % (2 * n_shards) != 0:
             raise ValueError(
                 f"interleaved batch axis {b} divides dp*fsdp={n_shards} but "
                 f"not 2*dp*fsdp={2 * n_shards}: a (camera, lidar) pair would "
                 "span shards. Use a batch of whole pairs per shard."
             )
-        if b % ((2 if interleaved else 1) * n_shards) == 0:
-            return jax.device_put(x, sharding)
-        return jax.device_put(x, replicated)
+        divisible = b % ((2 if interleaved else 1) * n_shards) == 0
+        if nproc == 1:
+            return jax.device_put(x, sharding if divisible else replicated)
+        if not divisible:
+            raise ValueError(
+                f"global batch axis {b} (local {x.shape[0]} x {nproc} "
+                f"processes) does not divide {'2 * ' if interleaved else ''}"
+                f"dp*fsdp={n_shards}; cross-process replication of per-host "
+                "data is not meaningful. Pad the local batch."
+            )
+        return jax.make_array_from_process_local_data(sharding, np.asarray(x))
 
     return jax.tree_util.tree_map(put, batch)

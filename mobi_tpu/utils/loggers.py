@@ -108,6 +108,17 @@ class WandbLogger:
         self._run.finish()
 
 
+class NullLogger:
+    """Swallows everything — the metrics stack on non-zero ranks of a
+    multi-process run (rank-0 IO convention)."""
+
+    def log(self, metrics: Dict[str, Any], step: Optional[int] = None):
+        pass
+
+    def close(self):
+        pass
+
+
 class MultiLogger:
     """Fan a `log` call out to every backend."""
 

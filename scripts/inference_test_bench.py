@@ -61,6 +61,11 @@ def parse_args(argv=None):
              "paste-back (default: reference-faithful normalized-unit paste)",
     )
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument("--mesh-dp", dest="mesh_dp", type=int, default=1,
+                   help="data-parallel inference over the first N devices "
+                        "(params replicated, whole (cam,lidar) pairs per "
+                        "device; n_samples must divide N). The reference "
+                        "samples on one GPU; this is the pod-scale path.")
     p.add_argument("overrides", nargs=argparse.REMAINDER)
     return p.parse_args(argv)
 
@@ -154,7 +159,20 @@ def main(argv=None):
             else jnp.asarray(x),
             params,
         )
-    params = jax.device_put(params, jax.devices()[0])
+    mesh = None
+    if opt.mesh_dp > 1:
+        from mobi_tpu.pipeline import inference_mesh, replicate_params
+
+        if opt.n_samples % opt.mesh_dp:
+            raise SystemExit(
+                f"--n_samples {opt.n_samples} must divide --mesh-dp "
+                f"{opt.mesh_dp} (whole pairs per device)"
+            )
+        mesh = inference_mesh(dp=opt.mesh_dp)
+        params = replicate_params(mesh, params)
+        print(f"dp-sharded inference over {opt.mesh_dp} devices")
+    else:
+        params = jax.device_put(params, jax.devices()[0])
     jax.block_until_ready(params)
 
     split = "rotation_test" if opt.rotation_test else "test"
@@ -175,17 +193,12 @@ def main(argv=None):
 
     sampler = "plms" if opt.plms else "ddim"
 
-    @jax.jit
-    def run_batch(params, batch, key):
-        k1, k2 = jax.random.split(key)
-        data = model.get_input(params, batch, k1, encode_cond=True)
-        latents = model.sample(
-            params, data, k2, num_steps=opt.ddim_steps,
-            guidance_scale=opt.scale, sampler=sampler, eta=opt.ddim_eta,
-        )
-        return model.decode_sample(
-            params, latents, data.get("z_lidar_full"), data.get("lidar_geom")
-        )
+    from mobi_tpu.pipeline import make_inpaint_pipeline
+
+    run_batch = make_inpaint_pipeline(
+        model, num_steps=opt.ddim_steps, guidance_scale=opt.scale,
+        sampler=sampler, eta=opt.ddim_eta, mesh=mesh,
+    )
 
     def strip(batch):
         return {
@@ -209,13 +222,15 @@ def main(argv=None):
         }
 
     metrics_acc: dict = {}
-    n_done = 0
+    state = {"n_done": 0}
     t0 = time.time()
-    for bi, batch in enumerate(loader):
-        if opt.max_batches is not None and bi >= opt.max_batches:
-            break
-        key = jax.random.PRNGKey(opt.seed if opt.fixed_code else opt.seed + bi)
-        out = run_batch(params, strip(batch), key)
+
+    def finish_batch(bi, batch, out):
+        """Host side of one batch: fetch device outputs, lidar metrics,
+        compositing, saves. Runs on the pipeline worker thread so batch
+        N-1's 1-3s of host work overlaps batch N's device scan
+        (VERDICT r2 item 3; the reference loop is fully serial,
+        /root/reference/scripts/inference_test_bench.py:467-652)."""
         cam = np.asarray(out.get("camera")) if "camera" in out else None
         lid = np.asarray(out.get("lidar")) if "lidar" in out else None
         B = len(batch["id_name"])
@@ -252,8 +267,40 @@ def main(argv=None):
                 save_camera_grid(cam[i], batch, i, camera_path, seg, opt, cv2)
             if lid is not None and opt.save_visualisations:
                 save_lidar_visuals(lid[i], batch, i, lidar_path, seg, opt, cv2)
-        n_done += B
-        print(f"batch {bi}: {n_done} objects, {n_done / (time.time() - t0):.3f} obj/s")
+        state["n_done"] += B
+        print(f"batch {bi}: {state['n_done']} objects, "
+              f"{state['n_done'] / (time.time() - t0):.3f} obj/s")
+
+    # double-buffered host/device pipeline: the main thread dispatches batch
+    # N to the device (jax dispatch is async) while one worker thread
+    # fetches + composites batch N-1. Depth 1 bounds host memory to two
+    # in-flight batches. MOBI_ITB_PIPELINE=0 restores the serial loop (the
+    # A/B knob used for the PROFILE measurement).
+    from concurrent.futures import ThreadPoolExecutor
+
+    pipelined = os.environ.get("MOBI_ITB_PIPELINE", "1") == "1"
+    pool = ThreadPoolExecutor(max_workers=1) if pipelined else None
+    pending = None
+    for bi, batch in enumerate(loader):
+        if opt.max_batches is not None and bi >= opt.max_batches:
+            break
+        key = jax.random.PRNGKey(opt.seed if opt.fixed_code else opt.seed + bi)
+        batch_dev = strip(batch)
+        if mesh is not None:
+            from mobi_tpu.parallel.mesh import shard_batch
+
+            batch_dev = shard_batch(mesh, batch_dev)
+        out = run_batch(params, batch_dev, key)
+        if pool is None:
+            finish_batch(bi, batch, out)
+        else:
+            if pending is not None:
+                pending.result()  # keep at most 2 batches in flight
+            pending = pool.submit(finish_batch, bi, batch, out)
+    if pending is not None:
+        pending.result()
+    if pool is not None:
+        pool.shutdown(wait=True)
 
     import pandas as pd
 

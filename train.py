@@ -52,6 +52,15 @@ def parse_args(argv=None):
     p.add_argument("--platform", default=None, choices=["cpu"],
                    help="force the jax platform (cpu smoke runs on a machine "
                         "whose default backend is a TPU)")
+    # multi-process (multi-host) runtime — the reference's nodes x gpus DDP
+    # (main.py:510, scripts/train.sh). On a TPU pod slice all three are
+    # autodetected (pass --num_processes -1 to force argless initialize);
+    # on CPU/localhost pass them explicitly. batch_size stays per-process.
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address host:port for "
+                        "jax.distributed.initialize")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax profiler trace of steps 10-15 into "
                         "this directory (tensorboard-compatible)")
@@ -73,7 +82,21 @@ def build_datasets(cfg, split_keys=("train", "validation")):
 def main(argv=None):
     args, overrides = parse_args(argv)
 
+    # join the multi-process runtime BEFORE anything touches the backend
+    from mobi_tpu.parallel import distributed as dist
+
+    if args.platform == "cpu" and (args.coordinator or args.num_processes):
+        import jax as _jax_pre
+
+        _jax_pre.config.update("jax_cpu_collectives_implementation", "gloo")
+    dist.initialize(args.coordinator, args.num_processes, args.process_id)
+
     import jax
+
+    rank0 = dist.is_main_process()
+    nproc = dist.process_count()
+    if nproc > 1:
+        print(f"multi-process run: process {dist.process_index()}/{nproc}")
 
     from mobi_tpu.utils.cache import enable_compilation_cache
 
@@ -103,11 +126,15 @@ def main(argv=None):
         now = datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
         name = args.name or os.path.splitext(os.path.basename(args.base[0]))[0]
         logdir = os.path.join(args.logdir, f"{now}_{name}")
-        os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
-        import yaml
+        # rank-0 IO convention (reference DDP): only process 0 materializes
+        # the run directory; other ranks' (possibly clock-skewed) logdir is
+        # never written to.
+        if rank0:
+            os.makedirs(os.path.join(logdir, "configs"), exist_ok=True)
+            import yaml
 
-        with open(os.path.join(logdir, "configs", "merged.yaml"), "w") as f:
-            yaml.safe_dump(cfg, f)
+            with open(os.path.join(logdir, "configs", "merged.yaml"), "w") as f:
+                yaml.safe_dump(cfg, f)
 
     mcfg = mobi_config_from_yaml(cfg)
     model = MobiDiffusion(mcfg)
@@ -154,8 +181,12 @@ def main(argv=None):
     # best-checkpoint selection key from the config (reference ModelCheckpoint
     # monitor, main.py:567-580; the shipped configs watch val/loss_simple_ema)
     monitor = cfg["model"]["params"].get("monitor", "val/loss_simple")
-    mgr = CheckpointManager(ckpt_dir, max_to_keep=args.save_top_k,
-                            monitor=monitor)
+    # checkpoints are written by process 0 only, from a gathered host tree
+    # (distributed.replicate_to_host); restore reads the same path on every
+    # rank (shared filesystem, the reference's DDP assumption).
+    mgr = (CheckpointManager(ckpt_dir, max_to_keep=args.save_top_k,
+                             monitor=monitor)
+           if (rank0 or args.resume) else None)
     if args.resume and mgr.latest_step() is not None:
         state = mgr.restore(template=state)
         print(f"Resumed from step {int(state.step)}")
@@ -230,10 +261,12 @@ def main(argv=None):
         ))
 
     mesh = create_mesh(fsdp=args.fsdp, devices=devices)
-    state = state._replace(
-        params=shard_params(mesh, state.params),
-        opt_state=jax.device_put(state.opt_state),
-    )
+    # shard the WHOLE state: params by param_spec, optimizer moments by the
+    # same specs (their tree paths embed the param paths), scalars
+    # replicated. This both places everything on the global mesh (required
+    # before feeding a multi-process jit) and keeps ZeRO-style moment
+    # sharding at rest under fsdp > 1.
+    state = shard_params(mesh, state)
     try:  # startup HBM telemetry (reference CUDACallback analogue)
         jax.block_until_ready(state.params)
         stats = jax.devices()[0].memory_stats() or {}
@@ -260,13 +293,17 @@ def main(argv=None):
     # contention, measured in PROFILE.md "Host input-pipeline throughput");
     # clamp to the core count.
     workers = max(1, min(args.num_workers, os.cpu_count() or 1))
+    # per-process contiguous slices of a shared seed-deterministic global
+    # order (DistributedSampler analogue) — shard_batch reassembles the
+    # global array from them on multi-process runs
+    shard_kw = dict(shard_index=dist.process_index(), num_shards=nproc)
     train_loader = PrefetchLoader(
         datasets["train"], batch_size, shuffle=True,
-        num_threads=workers, seed=args.seed,
+        num_threads=workers, seed=args.seed, **shard_kw,
     )
     val_loader = (
         PrefetchLoader(datasets["validation"], batch_size, shuffle=False,
-                       num_threads=workers)
+                       num_threads=workers, **shard_kw)
         if "validation" in datasets else None
     )
 
@@ -282,18 +319,33 @@ def main(argv=None):
         return out
 
     # metrics logger stack (reference main.py:539-563 logger selection):
-    # metrics.jsonl always; `lightning.logger` in the config adds csv/wandb
-    from mobi_tpu.utils.loggers import logger_from_config
+    # metrics.jsonl always; `lightning.logger` in the config adds csv/wandb.
+    # Rank-0 only: other processes log to a null stack.
+    from mobi_tpu.utils.loggers import logger_from_config, NullLogger
 
-    metrics_logger = logger_from_config(cfg, logdir)
+    metrics_logger = logger_from_config(cfg, logdir) if rank0 else NullLogger()
+
+    def save_state(cur_state, step, metrics=None):
+        """Gather (multi-process) and write a checkpoint from process 0."""
+        if nproc > 1:
+            host_state = dist.replicate_to_host(cur_state, mesh)
+        else:
+            host_state = jax.device_get(cur_state)
+        if mgr is not None and rank0:
+            mgr.save(step, host_state, metrics=metrics)
+
     crash_saved = {"done": False}
 
     def crash_save():
         if not crash_saved["done"]:
             try:
-                mgr.save(int(state.step), jax.device_get(state))
-                mgr.wait()
-                print("crash checkpoint written")
+                # best-effort in multi-process: the gather is a collective,
+                # which completes when the failure raised symmetrically on
+                # every rank (the usual XLA case) and is skipped otherwise
+                save_state(state, int(state.step))
+                if mgr is not None and rank0:
+                    mgr.wait()
+                    print("crash checkpoint written")
             except Exception as e:
                 # a step that dies mid-flight leaves `state` pointing at
                 # DONATED (already-freed) buffers — nothing to save
@@ -331,26 +383,31 @@ def main(argv=None):
                     rng, sub = jax.random.split(rng)
                     with mesh:
                         image_logger.maybe_log(
-                            state, batch, strip_host_fields, step, sub
+                            state, batch, strip_host_fields, step, sub,
+                            mesh=mesh,
                         )
                 if step % args.log_every == 0:
                     m = {k: float(v) for k, v in m.items()}
                     dt = time.time() - t_last
                     t_last = time.time()
                     m.update(step=step, epoch=epoch,
-                             imgs_per_sec=args.log_every * batch_size / dt)
+                             imgs_per_sec=args.log_every * batch_size
+                             * nproc / dt)
                     metrics_logger.log({f"train/{k}" if "/" not in k else k: v
                                         for k, v in m.items()})
-                    print(f"step {step} loss {m.get('loss'):.4f} "
-                          f"({m['imgs_per_sec']:.2f} img/s)")
+                    if rank0:
+                        print(f"step {step} loss {m.get('loss'):.4f} "
+                              f"({m['imgs_per_sec']:.2f} img/s)")
                 if step % args.val_every == 0 and val_loader is not None:
+                    # every rank runs the jitted val computation (collective
+                    # participation); rank 0 logs and saves
                     vm = validate(model, state, val_loader, strip_host_fields,
                                   mesh, rng)
                     metrics_logger.log(vm, step=step)
-                    mgr.save(step, jax.device_get(state), metrics=vm)
+                    save_state(state, step, metrics=vm)
                 elif step % args.save_every == 0:
-                    mgr.save(step, jax.device_get(state),
-                             metrics={monitor: float(m.get("loss_simple", 0))})
+                    save_state(state, step,
+                               metrics={monitor: float(m.get("loss_simple", 0))})
                 if step >= max_steps:
                     break
             epoch += 1
@@ -370,14 +427,19 @@ def main(argv=None):
             except Exception:
                 pass
             metrics_logger.log(epoch_rec)
-            print(f"epoch {epoch} done in {epoch_rec['train/epoch_time_s']:.1f}s")
+            if rank0:
+                print(f"epoch {epoch} done in "
+                      f"{epoch_rec['train/epoch_time_s']:.1f}s")
             t_epoch = time.time()
     except Exception:
         crash_save()
         raise
-    mgr.save(step, jax.device_get(state))
-    mgr.wait()
-    print(f"training done at step {step}; checkpoints in {ckpt_dir}")
+    save_state(state, step)
+    if mgr is not None and rank0:
+        mgr.wait()
+    dist.barrier("train_done")
+    if rank0:
+        print(f"training done at step {step}; checkpoints in {ckpt_dir}")
 
 
 def validate(model, state, val_loader, strip, mesh, rng, num_batches=8,
@@ -438,7 +500,7 @@ class ImageLogger:
         self.metrics_logger = metrics_logger
         self._fn = None
 
-    def _build(self):
+    def _build(self, mesh=None):
         import jax
 
         model = self.model
@@ -454,25 +516,59 @@ class ImageLogger:
                 params, latents, data.get("z_lidar_full"), data.get("lidar_geom")
             )
 
-        self._fn = jax.jit(pipeline)
+        out_shardings = None
+        if mesh is not None:
+            from mobi_tpu.parallel.mesh import mesh_process_count
 
-    def maybe_log(self, state, batch, strip, step, rng):
+            if mesh_process_count(mesh) > 1:
+                # multi-process: replicate outputs so rank 0 can fetch them
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                out_shardings = NamedSharding(mesh, P())
+        self._fn = jax.jit(pipeline, out_shardings=out_shardings)
+
+    def maybe_log(self, state, batch, strip, step, rng, mesh=None):
         if step % self.every:
             return None
         import cv2
         import jax
 
+        from mobi_tpu.parallel.mesh import mesh_process_count, shard_batch
         from mobi_tpu.viz import camera_log_collage, range_log_collage
 
         if self._fn is None:
-            self._build()
+            self._build(mesh)
         n = self.max_items
         small = jax.tree_util.tree_map(lambda x: x[:n], strip(batch))
+        nproc = mesh_process_count(mesh) if mesh is not None else 1
+        if nproc > 1:
+            # every rank contributes its n items to one global sampling
+            # batch (collective participation is mandatory), tiled up so
+            # the global axis divides the mesh's dp x fsdp shards; rank 0's
+            # real items are global rows [0:n] by process-order concat
+            n_shards = mesh.shape["dp"] * mesh.shape["fsdp"]
+            local_rows = (
+                -(-n * nproc // n_shards) * n_shards
+            ) // nproc
+            small = jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[
+                    np.arange(local_rows) % x.shape[0]
+                ],
+                small,
+            )
+            small = shard_batch(mesh, small)
         # sample with EMA weights when kept — the reference's
         # `ema_scope("Plotting")` around log_images (ddpm.py:1459)
         from mobi_tpu.training import params_with_ema
 
         out = self._fn(params_with_ema(state), small, rng)
+        if nproc > 1:
+            if jax.process_index() != 0:
+                jax.block_until_ready(out)
+                return None
+            out = jax.tree_util.tree_map(
+                lambda x: np.asarray(x)[:n], out
+            )
         os.makedirs(self.dir, exist_ok=True)
 
         metrics = {}
