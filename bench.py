@@ -40,9 +40,11 @@ from mobi_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 import numpy as np
 
-# (camera, lidar) pairs per device batch; 20 measured best on the v5e and is
-# the largest passing size — 22+ hit a TPU device fault
-# (PROFILE.md batch-scaling table). MOBI_BENCH_BATCH_PAIRS overrides.
+# (camera, lidar) pairs per device batch; 20 measured best on the v5e:
+# the scaling curve is flat past eff-UNet-batch 80 (24 pairs = 1278.4/hr vs
+# 20 = 1279.0/hr, measured with segmented sampling — PROFILE.md "Batch
+# re-sweep"). MOBI_BENCH_BATCH_PAIRS overrides; the HBM pre-flight and
+# segment sizing keep larger values safe.
 BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "20"))
 # dp-sharded inference over N devices (mobi_tpu.pipeline): per-chip batch
 # stays BATCH_PAIRS, the global batch is BATCH_PAIRS * N, and the reported
@@ -50,7 +52,9 @@ BATCH_PAIRS = int(os.environ.get("MOBI_BENCH_BATCH_PAIRS", "20"))
 # devices (the v5e here has one — use JAX_PLATFORMS=cpu +
 # --xla_force_host_platform_device_count for a scaling smoke).
 MESH_DP = int(os.environ.get("MOBI_BENCH_MESH_DP", "1"))
-STEPS = 50
+# DDIM steps: 50 is the headline protocol; lower only for fault probing /
+# smoke (MOBI_BENCH_STEPS) — never report a non-50-step number as headline.
+STEPS = int(os.environ.get("MOBI_BENCH_STEPS", "50"))
 GUIDANCE = 5.0
 TARGET_PER_HOUR = 1000.0
 
@@ -162,14 +166,47 @@ def main():
 
     from mobi_tpu.pipeline import make_inpaint_pipeline
 
+    # VAE-stage lax.map chunking (pipeline.py): the encode/decode temps set
+    # the program's HBM peak, so chunking them unlocks batch sizes past the
+    # unchunked 20-pair roofline. 0 disables. Single-device only.
+    vae_chunk = int(os.environ.get("MOBI_BENCH_VAE_CHUNK", "0"))
+    # Segmented sampling (pipeline.SegmentedInpaint): the tunneled runtime
+    # kills single executes longer than ~1-2 min, which caps the monolithic
+    # DDIM-50 program at ~20 pairs; N segments keep every dispatch short so
+    # any batch size can run. Measured FREE at the default batch (56.30 s
+    # seg5 vs 56.36 s monolithic — async dispatch hides the host loop), so
+    # it ships as the default for robustness to the execute-time limit.
+    # 1 = one fused program (the pre-segmentation headline path).
+    segments = int(os.environ.get("MOBI_BENCH_SEGMENTS", "5"))
     inpaint = make_inpaint_pipeline(
         model, num_steps=STEPS, guidance_scale=GUIDANCE, sampler="ddim",
         encoder_interval=enc_interval, mesh=mesh,
+        vae_chunk_pairs=0 if mesh is not None else vae_chunk,
+        sample_segments=1 if mesh is not None else segments,
     )
 
-    # warmup / compile
+    # warmup / compile (AOT so the HBM plan can be pre-flighted: an
+    # over-budget program faults the tunneled device with an opaque
+    # UNAVAILABLE instead of a clean OOM — utils/hbm.py)
     log("compiling + first run (cold compile can take many minutes)")
     t_c = time.perf_counter()
+    from mobi_tpu.utils.hbm import assert_fits
+
+    if hasattr(inpaint, "preflight"):  # SegmentedInpaint
+        if inpaint.preflight(
+            params, batch, jax.random.PRNGKey(1),
+            label=f"inpaint (batch_pairs={BATCH_PAIRS})",
+        ):
+            log("HBM pre-flight ok (3 programs)")
+    else:
+        compiled = inpaint.lower(
+            params, batch, jax.random.PRNGKey(1)
+        ).compile()
+        if assert_fits(
+            compiled, label=f"inpaint pipeline (batch_pairs={BATCH_PAIRS})"
+        ):
+            log("HBM pre-flight ok")
+        inpaint = compiled
     out = inpaint(params, batch, jax.random.PRNGKey(1))
     jax.block_until_ready(out)
     log(f"warmup done in {time.perf_counter() - t_c:.1f}s; timing")

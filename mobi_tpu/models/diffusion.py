@@ -348,6 +348,20 @@ class MobiDiffusion:
         geom = {"W": W, "H": H, "left": left, "pad": pad}
         return z, bbox, geom
 
+    def lidar_latent_geometry(self, z_lidar_full_shape) -> Dict[str, int]:
+        """The static geometry dict `align_lidar_latent` would return for a
+        full lidar latent of this shape — pure shape math, recomputable
+        without re-running the alignment (pipeline VAE chunking keeps the
+        dict out of `lax.map`-carried pytrees because its values are Python
+        ints, not arrays)."""
+        size = self.config.latent_size
+        H, W = z_lidar_full_shape[1], z_lidar_full_shape[2]
+        return {
+            "W": W, "H": H,
+            "left": W // 2 - size // 2,
+            "pad": (size - H) // 2,
+        }
+
     # --------------------------------------------------------- conditioning
     def get_learned_conditioning(
         self, params: Params, cond: Dict[str, Array]

@@ -56,6 +56,51 @@ def _ddim_update(x: Array, eps: Array, a_t, a_prev, sqrt_1m_at, sigma, noise):
     return jnp.sqrt(a_prev) * pred_x0 + dir_xt + sigma * noise, pred_x0
 
 
+def ddim_scan_segment(
+    model_fn: ModelFn,
+    rng: jax.Array,
+    x: Array,
+    cond: Array,
+    rest: Array,
+    per_step,
+    uncond: Optional[Array] = None,
+    guidance_scale: float = 1.0,
+    temperature: float = 1.0,
+    eta_is_zero: bool = True,
+):
+    """A contiguous run of DDIM steps as one `lax.scan`.
+
+    `per_step` is the (t, alpha, alpha_prev, sqrt(1-alpha), sigma) arrays for
+    the steps to run — sliced from `SamplerTables` sampling order. They are
+    ordinary operands (not closed-over constants), so ONE jitted segment
+    executable serves every slice of the trajectory: pipeline.py dispatches
+    the 50-step loop as several identical programs when a single execute
+    would exceed the runtime's per-program limit (PROFILE.md "device fault
+    ... execute-time limit"). Returns (x, rng) to carry into the next
+    segment; running one segment over the full tables IS the classic DDIM
+    loop (ddim.py:114-213) and `ddim_sample` below is defined that way.
+    """
+
+    def draw_noise(x, key):
+        if eta_is_zero:
+            return jnp.zeros_like(x), key
+        key, sub = jax.random.split(key)
+        return jax.random.normal(sub, x.shape, dtype=x.dtype) * temperature, key
+
+    def step(carry, ps):
+        x, key = carry
+        t, a_t, a_prev, sqrt_1m_at, sigma = ps
+        x9 = jnp.concatenate([x, rest], axis=-1)
+        tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
+        eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
+        noise, key = draw_noise(x, key)
+        x, _ = _ddim_update(x, eps, a_t, a_prev, sqrt_1m_at, sigma, noise)
+        return (x, key), None
+
+    (x, rng), _ = jax.lax.scan(step, (x, rng), per_step)
+    return x, rng
+
+
 def ddim_sample(
     model_fn: ModelFn,
     tables: SamplerTables,
@@ -102,17 +147,10 @@ def ddim_sample(
     )
 
     if encoder_interval <= 1 or cached_model_fn is None:
-        def step(carry, ps):
-            x, key = carry
-            t, a_t, a_prev, sqrt_1m_at, sigma = ps
-            x9 = jnp.concatenate([x, rest], axis=-1)
-            tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
-            eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
-            noise, key = draw_noise(x, key)
-            x, _ = _ddim_update(x, eps, a_t, a_prev, sqrt_1m_at, sigma, noise)
-            return (x, key), None
-
-        (x, _), _ = jax.lax.scan(step, (x_T, rng), per_step)
+        x, _ = ddim_scan_segment(
+            model_fn, rng, x_T, cond, rest, per_step, uncond,
+            guidance_scale, temperature, eta_zero,
+        )
         return x
 
     # --- encoder-propagation variant -------------------------------------

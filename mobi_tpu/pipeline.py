@@ -22,6 +22,19 @@ import jax
 Params = Any
 
 
+def _split_pairs(tree, n_chunks: int):
+    """[B, ...] leaves -> [n_chunks, B // n_chunks, ...]."""
+    return jax.tree.map(
+        lambda x: x.reshape((n_chunks, x.shape[0] // n_chunks) + x.shape[1:]),
+        tree,
+    )
+
+
+def _merge_pairs(tree):
+    """Undo _split_pairs: [n, c, ...] -> [n*c, ...]."""
+    return jax.tree.map(lambda x: x.reshape((-1,) + x.shape[2:]), tree)
+
+
 def make_inpaint_pipeline(
     model,
     num_steps: int = 50,
@@ -31,6 +44,9 @@ def make_inpaint_pipeline(
     encoder_interval: int = 1,
     mesh=None,
     replicate_outputs: bool = False,
+    vae_chunk_pairs: int = 0,
+    deterministic_encode: bool = False,
+    sample_segments: int = 1,
 ):
     """jit(get_input -> sample -> decode_sample).
 
@@ -39,17 +55,120 @@ def make_inpaint_pipeline(
     `mesh.shard_batch`; outputs stay batch-sharded unless
     `replicate_outputs` (multi-process callers that fetch on rank 0 need
     them replicated).
+
+    vae_chunk_pairs > 0 runs the VAE encode (get_input) and decode stages in
+    `lax.map` chunks of that many (camera, lidar) pairs. Per-sample math is
+    unchanged (no cross-sample reductions anywhere in those stages; the
+    interleaved pair order is preserved because chunks are contiguous pair
+    slices), but the stages' HBM temporaries shrink by ~batch/chunk — they,
+    not the UNet scan, set the whole pipeline's peak (PROFILE.md
+    "batch_pairs >= 22 ... HBM OOM": 12.0 GB at batch 20, ~9.5 GB of it VAE),
+    so chunking buys the scan a larger batch on the same chip. The
+    stochastic posterior draw consumes per-chunk fold_in keys, so samples
+    differ from the unchunked program by a different-noise draw only
+    (`deterministic_encode=True` pins posterior MODE encodes for exact
+    chunked-vs-unchunked parity, which the tests assert). Single-device
+    only — with a mesh the batch axis is already device-sharded.
+
+    sample_segments > 1 (ddim, exact mode only) dispatches the denoising
+    loop as that many separate device programs of num_steps/segments scanned
+    steps each instead of one monolithic program — returns a
+    `SegmentedInpaint` (callable with the same signature, plus
+    `.preflight()`). Use when ONE execute would exceed the runtime's
+    per-program execute-time limit (PROFILE.md: the tunneled v5e kills
+    executes somewhere in (59 s, 103 s] — the real cause of the historical
+    "batch_pairs >= 22 device fault", alongside the genuine HBM overrun at
+    22 unchunked). The trajectory math is unchanged: the same scan body
+    runs over operand-sliced step tables, so outputs match the monolithic
+    program (tested), and all segments share ONE compiled executable.
     """
+    if vae_chunk_pairs and mesh is not None:
+        raise ValueError("vae_chunk_pairs is a single-device HBM lever; "
+                         "with a mesh the batch is already sharded")
+    if sample_segments > 1:
+        if sampler != "ddim" or encoder_interval > 1:
+            raise ValueError("sample_segments requires the exact ddim path")
+        if mesh is not None:
+            raise ValueError("sample_segments is single-device (the mesh "
+                             "path shards the batch instead)")
+        if num_steps % sample_segments:
+            raise ValueError(
+                f"num_steps={num_steps} not divisible by sample_segments="
+                f"{sample_segments} (segments must share one executable)"
+            )
+
+    def get_input_full(params, batch, k1):
+        return model.get_input(
+            params, batch, k1, encode_cond=True,
+            deterministic=deterministic_encode,
+        )
+
+    def get_input_chunked(params, batch, k1):
+        b = jax.tree.leaves(batch)[0].shape[0]
+        if b % vae_chunk_pairs:
+            raise ValueError(
+                f"batch of {b} pairs not divisible by vae_chunk_pairs="
+                f"{vae_chunk_pairs}"
+            )
+        n = b // vae_chunk_pairs
+        if n <= 1:
+            return get_input_full(params, batch, k1)
+
+        def enc(args):
+            chunk, key = args
+            d = get_input_full(params, chunk, key)
+            # lidar_geom is static Python shape math (identical for every
+            # chunk) — keep it out of the mapped pytree and recompute once
+            d.pop("lidar_geom", None)
+            return d
+
+        keys = jax.random.split(k1, n)
+        data = _merge_pairs(
+            jax.lax.map(enc, (_split_pairs(batch, n), keys))
+        )
+        if "z_lidar_full" in data:
+            data["lidar_geom"] = model.lidar_latent_geometry(
+                data["z_lidar_full"].shape
+            )
+        return data
+
+    def decode_chunked(params, latents, z_lidar_full, geom):
+        n = latents.shape[0] // (
+            vae_chunk_pairs * (2 if model.config.multimodal else 1)
+        )
+        if n <= 1:
+            return model.decode_sample(params, latents, z_lidar_full, geom)
+
+        if z_lidar_full is None:
+            return _merge_pairs(jax.lax.map(
+                lambda s: model.decode_sample(params, s, None, geom),
+                _split_pairs(latents, n),
+            ))
+        return _merge_pairs(jax.lax.map(
+            lambda args: model.decode_sample(params, args[0], args[1], geom),
+            (_split_pairs(latents, n), _split_pairs(z_lidar_full, n)),
+        ))
+
+    decode_fn = decode_chunked if vae_chunk_pairs else model.decode_sample
+    if sample_segments > 1:
+        return SegmentedInpaint(
+            model, num_steps, guidance_scale, eta, sample_segments,
+            get_input_chunked if vae_chunk_pairs else get_input_full,
+            decode_fn,
+        )
 
     def pipeline(params, batch: Dict[str, Any], rng: jax.Array):
         k1, k2 = jax.random.split(rng)
-        data = model.get_input(params, batch, k1, encode_cond=True)
+        if vae_chunk_pairs:
+            data = get_input_chunked(params, batch, k1)
+        else:
+            data = get_input_full(params, batch, k1)
         latents = model.sample(
             params, data, k2, num_steps=num_steps,
             guidance_scale=guidance_scale, sampler=sampler, eta=eta,
             encoder_interval=encoder_interval,
         )
-        return model.decode_sample(
+        return decode_fn(
             params, latents, data.get("z_lidar_full"), data.get("lidar_geom")
         )
 
@@ -59,6 +178,119 @@ def make_inpaint_pipeline(
 
         out_shardings = NamedSharding(mesh, P())
     return jax.jit(pipeline, out_shardings=out_shardings)
+
+
+class SegmentedInpaint:
+    """The inpaint pipeline as prep / K sampling segments / decode programs.
+
+    Same math as the monolithic jit (the prep stage mirrors
+    MobiDiffusion.sample's rng plumbing exactly — diffusion.py `sample`;
+    the segment body is samplers.ddim_scan_segment, the same scanned step),
+    but no single device program runs longer than num_steps/K denoising
+    steps: the tunneled runtime's per-execute time limit (PROFILE.md) caps
+    a monolithic DDIM-50 at ~20 batch pairs on the v5e, while segments keep
+    every execute short at any batch size. Segments share one compiled
+    executable (step tables are operands); all K+2 dispatches are async, so
+    the device queue stays full and the host adds no serialization.
+
+    Callable like the jitted pipeline; `preflight()` AOT-compiles the three
+    programs and HBM-checks each (utils/hbm.py).
+    """
+
+    def __init__(self, model, num_steps, guidance_scale, eta, segments,
+                 get_input_fn, decode_fn):
+        import jax.numpy as jnp
+
+        from mobi_tpu.models.samplers import ddim_scan_segment
+        from mobi_tpu.ops.schedules import SamplerTables
+
+        tables = SamplerTables.create(model.schedule, num_steps, eta=eta)
+        per_step = (
+            tables.timesteps,
+            tables.alphas,
+            tables.alphas_prev,
+            tables.sqrt_one_minus_alphas,
+            tables.sigmas,
+        )
+        m = num_steps // segments
+        self._slices = [
+            jax.tree.map(lambda a: a[i * m : (i + 1) * m], per_step)
+            for i in range(segments)
+        ]
+        self._dev_slices = None
+        self._model = model
+
+        def prep(params, batch, rng):
+            k1, k2 = jax.random.split(rng)
+            data = get_input_fn(params, batch, k1)
+            z = data["z"]
+            uncond = (
+                model.uncond_tokens(params, z.shape[0])
+                if guidance_scale != 1.0 else None
+            )
+            k_init, _k_loop = jax.random.split(k2)
+            x_T = jax.random.normal(
+                k_init, z[..., :4].shape, dtype=jnp.float32
+            )
+            return (x_T, _k_loop, z[..., 4:], data["cond"], uncond,
+                    data.get("z_lidar_full"))
+
+        def seg(params, x, key, rest, cond, uncond, sl):
+            def model_fn(x9, t, ctx):
+                return model.apply_model(params, x9, t, ctx)
+
+            return ddim_scan_segment(
+                model_fn, key, x, cond, rest, sl, uncond, guidance_scale,
+                1.0, tables.eta_is_zero,
+            )
+
+        def dec(params, latents, z_lidar_full):
+            geom = (
+                model.lidar_latent_geometry(z_lidar_full.shape)
+                if z_lidar_full is not None else None
+            )
+            return decode_fn(params, latents, z_lidar_full, geom)
+
+        self._prep, self._seg, self._dec = (
+            jax.jit(prep), jax.jit(seg), jax.jit(dec),
+        )
+        self._prep_c = self._seg_c = self._dec_c = None
+
+    def _place_slices(self):
+        if self._dev_slices is None:
+            self._dev_slices = jax.device_put(self._slices)
+        return self._dev_slices
+
+    def __call__(self, params, batch: Dict[str, Any], rng: jax.Array):
+        prep = self._prep_c or self._prep
+        seg = self._seg_c or self._seg
+        dec = self._dec_c or self._dec
+        x, key, rest, cond, uncond, zf = prep(params, batch, rng)
+        for sl in self._place_slices():
+            x, key = seg(params, x, key, rest, cond, uncond, sl)
+        return dec(params, x, zf)
+
+    def preflight(self, params, batch, rng, label="inpaint") -> bool:
+        """AOT-compile prep/segment/decode and HBM-check each program's
+        plan (utils/hbm.py). Returns True when the checks ran. Subsequent
+        calls reuse the compiled executables."""
+        from mobi_tpu.utils.hbm import assert_fits
+
+        slices = self._place_slices()
+        self._prep_c = self._prep.lower(params, batch, rng).compile()
+        outs = jax.eval_shape(self._prep, params, batch, rng)
+        x, key, rest, cond, uncond, zf = outs
+        self._seg_c = self._seg.lower(
+            params, x, key, rest, cond, uncond, slices[0]
+        ).compile()
+        self._dec_c = self._dec.lower(params, x, zf).compile()
+        ran = [
+            assert_fits(c, label=f"{label} ({name})")
+            for name, c in (("prep", self._prep_c),
+                            ("sampling segment", self._seg_c),
+                            ("decode", self._dec_c))
+        ]
+        return all(ran)
 
 
 def replicate_params(mesh, params: Params) -> Params:

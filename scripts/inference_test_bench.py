@@ -118,7 +118,15 @@ def main(argv=None):
             params = {**params, "unet": restored["ema"]["ema_params"]}
             print("using EMA weights for sampling (ema_scope)")
     else:
-        params = model.init_params(rng)
+        # no checkpoint: random-init params (smoke/drive runs). Flagship
+        # init executes the full forward eagerly on the host CPU (~20 min
+        # on 1 core) — reuse the validated disk cache bench.py/train.py use.
+        from mobi_tpu.utils.param_cache import cached_init
+
+        params = cached_init(
+            lambda r: model.init_params(r), rng, repr(mcfg),
+            shape_fn=lambda r: model.init_params(r, on_cpu=False),
+        )
     if opt.ckpt and not os.path.isdir(opt.ckpt):
         print(f"loading checkpoint {opt.ckpt}")
         from mobi_tpu.import_torch import (

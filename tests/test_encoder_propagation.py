@@ -76,3 +76,34 @@ def test_ddim_encoder_interval_samples(model_params):
     a, b = np.asarray(exact).ravel(), np.asarray(fast).ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.5, f"encoder-propagation diverged (corr={corr:.3f})"
+
+
+def test_ddim_encoder_interval2_divergence_band(model_params):
+    """Pin the interval-2 divergence: small but nonzero.
+
+    Companion to the flagship-scale sweep in PROFILE.md ("Encoder
+    propagation accuracy", scripts/encoder_prop_accuracy.py). Interval 2
+    is the recommended safe setting; this regression guards both
+    directions — a rel-MSE above the band means caching broke accuracy,
+    (near-)zero means the interval knob stopped doing anything (e.g. the
+    cache silently recomputes every step)."""
+    from tests.helpers import perturb_params
+
+    model, params0 = model_params
+    params = dict(params0)
+    params["unet"] = perturb_params(params0["unet"])
+    batch = make_batch(b=1)
+    data = model.get_input(
+        params, batch, jax.random.PRNGKey(0), encode_cond=True
+    )
+    exact = model.sample(
+        params, data, jax.random.PRNGKey(1), num_steps=10,
+        guidance_scale=5.0, sampler="ddim",
+    )
+    fast = model.sample(
+        params, data, jax.random.PRNGKey(1), num_steps=10,
+        guidance_scale=5.0, sampler="ddim", encoder_interval=2,
+    )
+    a, b = np.asarray(exact, np.float64), np.asarray(fast, np.float64)
+    rel = float(((b - a) ** 2).sum() / (a**2).sum())
+    assert 1e-8 < rel < 0.15, f"interval-2 rel-MSE {rel:.2e} out of band"

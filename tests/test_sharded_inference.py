@@ -61,6 +61,108 @@ def test_dp8_matches_single_device(setup, cpu_devices):
         )
 
 
+def test_vae_chunked_matches_unchunked(setup, cpu_devices):
+    """`vae_chunk_pairs` is a pure HBM-peak lever: with posterior-MODE
+    encodes (deterministic_encode) the lax.map-chunked VAE stages must
+    reproduce the unchunked program sample for sample (contiguous pair
+    chunks preserve the interleaved order; no cross-sample math in the VAE
+    stages)."""
+    model, params = setup
+    params = jax.device_put(params, cpu_devices[0])
+    batch = make_batch(b=8)
+    rng = jax.random.PRNGKey(5)
+
+    def run(chunk):
+        fn = make_inpaint_pipeline(
+            model, num_steps=3, guidance_scale=2.0, sampler="ddim",
+            vae_chunk_pairs=chunk, deterministic_encode=True,
+        )
+        return {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+
+    ref = run(0)
+    out = run(2)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=0, atol=1e-5,
+            err_msg=f"vae-chunked {k} differs from unchunked",
+        )
+
+
+def test_vae_chunk_guards(setup, cpu_devices):
+    model, params = setup
+    with pytest.raises(ValueError, match="single-device"):
+        make_inpaint_pipeline(
+            model, vae_chunk_pairs=2, mesh=inference_mesh(devices=cpu_devices)
+        )
+    fn = make_inpaint_pipeline(model, num_steps=2, vae_chunk_pairs=3)
+    with pytest.raises(ValueError, match="not divisible"):
+        fn(jax.device_put(params, cpu_devices[0]), make_batch(b=8),
+           jax.random.PRNGKey(0))
+
+
+def test_segmented_matches_monolithic(setup, cpu_devices):
+    """K-segment dispatch == one fused program, sample for sample: the
+    segment body is the same scanned DDIM step over operand-sliced tables,
+    and prep mirrors sample()'s rng plumbing, so splitting the trajectory
+    across device programs must not change the math."""
+    model, params = setup
+    params = jax.device_put(params, cpu_devices[0])
+    batch = make_batch(b=4)
+    rng = jax.random.PRNGKey(9)
+
+    def run(**kw):
+        fn = make_inpaint_pipeline(
+            model, num_steps=4, guidance_scale=2.0, sampler="ddim", **kw
+        )
+        return {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+
+    ref = run()
+    out = run(sample_segments=2)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=0, atol=1e-5,
+            err_msg=f"segmented {k} differs from monolithic",
+        )
+
+    # composes with VAE chunking (both levers on at once, as on the bench)
+    both = make_inpaint_pipeline(
+        model, num_steps=4, guidance_scale=2.0, sampler="ddim",
+        sample_segments=2, vae_chunk_pairs=2,
+    )
+    o = both(params, batch, rng)
+    assert all(np.isfinite(np.asarray(v)).all() for v in o.values())
+
+
+def test_segmented_preflight_and_guards(setup, cpu_devices):
+    model, params = setup
+    params = jax.device_put(params, cpu_devices[0])
+    batch = make_batch(b=4)
+    rng = jax.random.PRNGKey(2)
+
+    fn = make_inpaint_pipeline(
+        model, num_steps=4, guidance_scale=2.0, sampler="ddim",
+        sample_segments=2,
+    )
+    before = {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+    # CPU exposes no HBM budget -> checks are skipped (False), never fail;
+    # the AOT-compiled programs must produce the same outputs afterwards
+    assert fn.preflight(params, batch, rng) is False
+    after = {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=0, atol=1e-6)
+
+    with pytest.raises(ValueError, match="not divisible"):
+        make_inpaint_pipeline(model, num_steps=5, sample_segments=2)
+    with pytest.raises(ValueError, match="exact ddim"):
+        make_inpaint_pipeline(model, sampler="plms", sample_segments=2)
+    with pytest.raises(ValueError, match="exact ddim"):
+        make_inpaint_pipeline(
+            model, num_steps=4, sample_segments=2, encoder_interval=2
+        )
+
+
 def test_dp_subset_mesh(setup, cpu_devices):
     """inference_mesh(dp=N) over a device prefix, uneven guidance off."""
     model, params = setup
