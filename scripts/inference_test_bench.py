@@ -61,6 +61,14 @@ def parse_args(argv=None):
              "paste-back (default: reference-faithful normalized-unit paste)",
     )
     p.add_argument("--max_batches", type=int, default=None)
+    p.add_argument(
+        "--sample-segments", dest="sample_segments", type=int,
+        default=int(os.environ.get("MOBI_ITB_SEGMENTS", "1")),
+        help="dispatch the DDIM loop as N short device programs sharing one "
+        "executable (pipeline.SegmentedInpaint) — use when one execute "
+        "would exceed a runtime per-program limit (PROFILE.md 'device "
+        "fault ... execute-time limit'); exact ddim, single device only",
+    )
     p.add_argument("--mesh-dp", dest="mesh_dp", type=int, default=1,
                    help="data-parallel inference over the first N devices "
                         "(params replicated, whole (cam,lidar) pairs per "
@@ -206,6 +214,7 @@ def main(argv=None):
     run_batch = make_inpaint_pipeline(
         model, num_steps=opt.ddim_steps, guidance_scale=opt.scale,
         sampler=sampler, eta=opt.ddim_eta, mesh=mesh,
+        sample_segments=opt.sample_segments if mesh is None else 1,
     )
 
     def strip(batch):

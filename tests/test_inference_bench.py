@@ -86,3 +86,24 @@ def test_intensity_paste_units(tmp_path, fixed):
     np.testing.assert_allclose(int_final[inst], want, rtol=1e-6)
     if not fixed:
         assert np.abs(int_final[inst]).max() <= 1.0 + 1e-9
+
+
+def test_sample_segments_flag(monkeypatch):
+    """--sample-segments (env MOBI_ITB_SEGMENTS default) reaches
+    make_inpaint_pipeline's sample_segments — the itb analogue of bench.py's
+    MOBI_BENCH_SEGMENTS (PROFILE.md 'execute-time limit')."""
+    assert parse_args(["--config", "x"]).sample_segments == 1
+    assert parse_args(
+        ["--config", "x", "--sample-segments", "5"]
+    ).sample_segments == 5
+    monkeypatch.setenv("MOBI_ITB_SEGMENTS", "10")
+    import importlib
+
+    import scripts.inference_test_bench as itb
+
+    importlib.reload(itb)
+    try:
+        assert itb.parse_args(["--config", "x"]).sample_segments == 10
+    finally:
+        monkeypatch.delenv("MOBI_ITB_SEGMENTS")
+        importlib.reload(itb)

@@ -365,11 +365,32 @@ def main(argv=None):
     epoch = 0
     t_last = time.time()
     t_epoch = time.time()
+    preflighted = False
     try:
         while step < max_steps and (args.max_epochs is None or epoch < args.max_epochs):
             for batch in train_loader:
                 batch_dev = shard_batch(mesh, strip_host_fields(batch))
                 rng, sub = jax.random.split(rng)
+                if not preflighted:
+                    # HBM pre-flight of the compiled step: an over-budget
+                    # program faults the tunneled device with an opaque
+                    # UNAVAILABLE instead of a clean OOM (utils/hbm.py; same
+                    # guard bench.py runs on the inference pipeline). The
+                    # AOT compile here is the one the first call would pay
+                    # anyway (shared persistent cache at worst).
+                    preflighted = True
+                    from mobi_tpu.utils.hbm import assert_fits
+                    try:
+                        with mesh:
+                            compiled = step_fn.lower(
+                                state, batch_dev, sub
+                            ).compile()
+                    except Exception:
+                        compiled = None  # best-effort: the call surfaces it
+                    if compiled is not None and assert_fits(
+                        compiled, label="train step"
+                    ):
+                        print("HBM pre-flight ok (train step)", flush=True)
                 if args.profile_dir and step == 10:
                     jax.profiler.start_trace(args.profile_dir)
                 with mesh:
