@@ -177,3 +177,29 @@ def test_dp_subset_mesh(setup, cpu_devices):
     )
     for k in ref:
         np.testing.assert_allclose(out[k], ref[k], rtol=0, atol=1e-5)
+
+
+def test_segmented_matches_monolithic_stochastic(setup, cpu_devices):
+    """eta > 0: every DDIM step draws noise from the carried rng, so the
+    (x, key) handoff across segment boundaries must reproduce the monolithic
+    scan's key sequence exactly — a break here shows up as a different noise
+    draw in segment 2+, not a numeric tolerance issue."""
+    model, params = setup
+    params = jax.device_put(params, cpu_devices[0])
+    batch = make_batch(b=2)
+    rng = jax.random.PRNGKey(11)
+
+    def run(**kw):
+        fn = make_inpaint_pipeline(
+            model, num_steps=4, guidance_scale=2.0, sampler="ddim",
+            eta=1.0, **kw
+        )
+        return {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+
+    ref = run()
+    out = run(sample_segments=4)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=0, atol=1e-5,
+            err_msg=f"stochastic segmented {k} differs from monolithic",
+        )
