@@ -182,7 +182,7 @@ def main():
         model, num_steps=STEPS, guidance_scale=GUIDANCE, sampler="ddim",
         encoder_interval=enc_interval, mesh=mesh,
         vae_chunk_pairs=0 if mesh is not None else vae_chunk,
-        sample_segments=1 if mesh is not None else segments,
+        sample_segments=segments if enc_interval <= 1 else 1,
     )
 
     # warmup / compile (AOT so the HBM plan can be pre-flighted: an

@@ -81,6 +81,9 @@ def make_inpaint_pipeline(
     22 unchunked). The trajectory math is unchanged: the same scan body
     runs over operand-sliced step tables, so outputs match the monolithic
     program (tested), and all segments share ONE compiled executable.
+    Composes with `mesh` (each segment is an SPMD program over the
+    dp-sharded batch; step tables replicated) — `.preflight()` is then a
+    documented no-op.
     """
     if vae_chunk_pairs and mesh is not None:
         raise ValueError("vae_chunk_pairs is a single-device HBM lever; "
@@ -88,9 +91,6 @@ def make_inpaint_pipeline(
     if sample_segments > 1:
         if sampler != "ddim" or encoder_interval > 1:
             raise ValueError("sample_segments requires the exact ddim path")
-        if mesh is not None:
-            raise ValueError("sample_segments is single-device (the mesh "
-                             "path shards the batch instead)")
         if num_steps % sample_segments:
             raise ValueError(
                 f"num_steps={num_steps} not divisible by sample_segments="
@@ -154,7 +154,7 @@ def make_inpaint_pipeline(
         return SegmentedInpaint(
             model, num_steps, guidance_scale, eta, sample_segments,
             get_input_chunked if vae_chunk_pairs else get_input_full,
-            decode_fn,
+            decode_fn, mesh=mesh, replicate_outputs=replicate_outputs,
         )
 
     def pipeline(params, batch: Dict[str, Any], rng: jax.Array):
@@ -198,7 +198,8 @@ class SegmentedInpaint:
     """
 
     def __init__(self, model, num_steps, guidance_scale, eta, segments,
-                 get_input_fn, decode_fn):
+                 get_input_fn, decode_fn, mesh=None,
+                 replicate_outputs: bool = False):
         import jax.numpy as jnp
 
         from mobi_tpu.models.samplers import ddim_scan_segment
@@ -219,6 +220,27 @@ class SegmentedInpaint:
         ]
         self._dev_slices = None
         self._model = model
+        self._mesh = mesh
+
+        # Under a mesh, pin every batch-dim array that crosses a segment
+        # boundary to the dp batch sharding: materialized jit outputs are
+        # otherwise free for the compiler to lay out per program, which
+        # (a) can silently all-gather the latents between segments and
+        # (b) changes the per-device compute tiling vs the monolithic SPMD
+        # program (measured ~2e-4 output drift on the CPU mesh without the
+        # constraint vs ~1e-6 with it).
+        if mesh is not None:
+            from mobi_tpu.parallel.mesh import batch_sharding
+
+            _bsh = batch_sharding(mesh)
+
+            def shard_b(a):
+                return None if a is None else (
+                    jax.lax.with_sharding_constraint(a, _bsh)
+                )
+        else:
+            def shard_b(a):
+                return a
 
         def prep(params, batch, rng):
             k1, k2 = jax.random.split(rng)
@@ -232,17 +254,19 @@ class SegmentedInpaint:
             x_T = jax.random.normal(
                 k_init, z[..., :4].shape, dtype=jnp.float32
             )
-            return (x_T, _k_loop, z[..., 4:], data["cond"], uncond,
-                    data.get("z_lidar_full"))
+            return (shard_b(x_T), _k_loop, shard_b(z[..., 4:]),
+                    shard_b(data["cond"]), shard_b(uncond),
+                    shard_b(data.get("z_lidar_full")))
 
         def seg(params, x, key, rest, cond, uncond, sl):
             def model_fn(x9, t, ctx):
                 return model.apply_model(params, x9, t, ctx)
 
-            return ddim_scan_segment(
+            x, key = ddim_scan_segment(
                 model_fn, key, x, cond, rest, sl, uncond, guidance_scale,
                 1.0, tables.eta_is_zero,
             )
+            return shard_b(x), key
 
         def dec(params, latents, z_lidar_full):
             geom = (
@@ -251,14 +275,30 @@ class SegmentedInpaint:
             )
             return decode_fn(params, latents, z_lidar_full, geom)
 
+        # with a dp mesh the batch axis is sharded by the caller
+        # (shard_batch) and shardings propagate through all three jits;
+        # the step tables are replicated. replicate_outputs mirrors the
+        # monolithic path's option for multi-process rank-0 fetches.
+        dec_out = None
+        if mesh is not None and replicate_outputs:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dec_out = NamedSharding(mesh, P())
         self._prep, self._seg, self._dec = (
-            jax.jit(prep), jax.jit(seg), jax.jit(dec),
+            jax.jit(prep), jax.jit(seg), jax.jit(dec, out_shardings=dec_out),
         )
         self._prep_c = self._seg_c = self._dec_c = None
 
     def _place_slices(self):
         if self._dev_slices is None:
-            self._dev_slices = jax.device_put(self._slices)
+            if self._mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                self._dev_slices = jax.device_put(
+                    self._slices, NamedSharding(self._mesh, P())
+                )
+            else:
+                self._dev_slices = jax.device_put(self._slices)
         return self._dev_slices
 
     def __call__(self, params, batch: Dict[str, Any], rng: jax.Array):
@@ -273,7 +313,12 @@ class SegmentedInpaint:
     def preflight(self, params, batch, rng, label="inpaint") -> bool:
         """AOT-compile prep/segment/decode and HBM-check each program's
         plan (utils/hbm.py). Returns True when the checks ran. Subsequent
-        calls reuse the compiled executables."""
+        calls reuse the compiled executables. Single-device only: under a
+        mesh the eval_shape-based lowering would drop the input shardings
+        and compile (and cache!) the wrong SPMD program, so the check is
+        skipped (False), never wrong."""
+        if self._mesh is not None:
+            return False
         from mobi_tpu.utils.hbm import assert_fits
 
         slices = self._place_slices()

@@ -203,3 +203,42 @@ def test_segmented_matches_monolithic_stochastic(setup, cpu_devices):
             out[k], ref[k], rtol=0, atol=1e-5,
             err_msg=f"stochastic segmented {k} differs from monolithic",
         )
+
+
+def test_segmented_composes_with_mesh(setup, cpu_devices):
+    """segments x dp mesh (the pod deployment shape: batch sharded over
+    chips AND no single execute outliving a runtime limit): each segment is
+    an SPMD program over the dp-sharded batch, step tables replicated,
+    latents pinned to the batch sharding at segment boundaries (no silent
+    all-gather between segments).
+
+    Tolerance note: program-boundary placement changes XLA's fusion
+    choices, and the DDIM update divides by sqrt(alpha_t) (~30x at early
+    timesteps), amplifying ulp-level reassociation differences — measured
+    ~2.3e-4 after 3 steps at this batch, IDENTICAL on a single device
+    (seg3-vs-monolithic, no mesh), so it is segmentation-inherent fp32
+    reassociation, not a sharding bug. Asserted at 1e-3, still ~8x below
+    the 8-bit output quantization step (2/255)."""
+    model, params = setup
+    batch = make_batch(b=8)
+    rng = jax.random.PRNGKey(21)
+
+    ref = _run(model, jax.device_put(params, cpu_devices[0]), batch, rng)
+
+    mesh = inference_mesh(devices=cpu_devices)
+    fn = make_inpaint_pipeline(
+        model, num_steps=3, guidance_scale=2.0, sampler="ddim", mesh=mesh,
+        sample_segments=3,
+    )
+    assert fn.preflight(
+        replicate_params(mesh, params), shard_batch(mesh, batch), rng
+    ) is False
+    out = fn(replicate_params(mesh, params), shard_batch(mesh, batch), rng)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=0, atol=1e-3,
+            err_msg=f"segmented+mesh {k} differs from single-device",
+        )
