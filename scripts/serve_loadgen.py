@@ -41,10 +41,17 @@ def make_sample(rng, h, w):
     }
 
 
-def post(url, flat, timeout):
+def encode(flat) -> bytes:
     buf = io.BytesIO()
     np.savez_compressed(buf, **flat)
-    req = urllib.request.Request(url, data=buf.getvalue(), method="POST")
+    return buf.getvalue()
+
+
+def post(url, body, timeout):
+    """POST a pre-encoded npz body (encoding once in main keeps the
+    1-core client from serializing 40 identical ~12 MB compressions
+    inside the timed window)."""
+    req = urllib.request.Request(url, data=body, method="POST")
     t0 = time.perf_counter()
     with urllib.request.urlopen(req, timeout=timeout) as r:
         body = r.read()
@@ -68,10 +75,10 @@ def main():
     args = ap.parse_args()
     url = f"http://{args.host}:{args.port}/inpaint"
     rng = np.random.default_rng(0)
-    sample = make_sample(rng, args.h, args.w)
+    body = encode(make_sample(rng, args.h, args.w))
 
     for i in range(args.warmup):
-        dt = post(url, sample, args.timeout)
+        dt = post(url, body, args.timeout)
         print(f"# warmup {i}: {dt:.1f}s", file=sys.stderr, flush=True)
 
     lat = [None] * args.n
@@ -79,7 +86,7 @@ def main():
 
     def worker(i):
         try:
-            lat[i] = post(url, sample, args.timeout)
+            lat[i] = post(url, body, args.timeout)
         except Exception as e:
             errors.append(f"{type(e).__name__}: {e}")
 
