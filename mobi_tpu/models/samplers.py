@@ -305,7 +305,7 @@ def ddim_decode(
     return x
 
 
-def plms_sample(
+def plms_prologue(
     model_fn: ModelFn,
     tables: SamplerTables,
     x_T: Array,
@@ -313,37 +313,60 @@ def plms_sample(
     rest: Array,
     uncond: Optional[Array] = None,
     guidance_scale: float = 1.0,
-) -> Array:
-    """PLMS (pseudo linear multistep) sampling loop; eta is always 0.
-
-    Step 0 (plms.py:221-226): eps at t0, provisional DDIM update, second eps
-    at t1, average. Steps >=1: Adams-Bashforth blend of the current eps with
-    up to 3 history entries via the precomputed coefficient table.
-    """
+):
+    """PLMS step 0, pseudo improved Euler (plms.py:221-226): eps at t0,
+    provisional DDIM update, second eps at t1, average. Returns (x after
+    step 0, eps history ring [3, ...]) — the carry `plms_scan_segment`
+    continues from."""
 
     def eval_eps(x, t_scalar):
         x9 = jnp.concatenate([x, rest], axis=-1)
         tb = jnp.full((x.shape[0],), t_scalar, dtype=jnp.int32)
         return _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
 
-    def update(x, eps, idx):
-        a_t = tables.alphas[idx]
-        a_prev = tables.alphas_prev[idx]
-        sqrt_1m = tables.sqrt_one_minus_alphas[idx]
-        return _ddim_update(x, eps, a_t, a_prev, sqrt_1m, 0.0, 0.0)[0]
+    def update(x, eps):
+        return _ddim_update(
+            x, eps, tables.alphas[0], tables.alphas_prev[0],
+            tables.sqrt_one_minus_alphas[0], 0.0, 0.0,
+        )[0]
 
-    # ---- prologue: step 0, pseudo improved Euler ----
     e_t = eval_eps(x_T, tables.timesteps[0])
-    x_prev = update(x_T, e_t, 0)
+    x_prev = update(x_T, e_t)
     e_t_next = eval_eps(x_prev, tables.timesteps_next[0])
     e_prime = 0.5 * (e_t + e_t_next)
-    x = update(x_T, e_prime, 0)
+    x = update(x_T, e_prime)
     hist = jnp.stack([e_t, jnp.zeros_like(e_t), jnp.zeros_like(e_t)])
+    return x, hist
 
-    # ---- steps 1..S-1: scanned multistep ----
-    def step(carry, per_step):
+
+def plms_scan_segment(
+    model_fn: ModelFn,
+    x: Array,
+    hist: Array,
+    cond: Array,
+    rest: Array,
+    per_step,
+    uncond: Optional[Array] = None,
+    guidance_scale: float = 1.0,
+):
+    """A contiguous run of PLMS multistep updates (steps >= 1) as one
+    `lax.scan`: Adams-Bashforth blend of the current eps with up to 3
+    history entries via the precomputed coefficient table (plms.py:227-237).
+
+    `per_step` is (t, alpha, alpha_prev, sqrt(1-alpha), coeffs) for the
+    steps to run — tables rows 1..S-1 (row 0 is `plms_prologue`), sliced.
+    Like `ddim_scan_segment`, the tables are operands, so one jitted
+    executable serves every equal-length slice of the trajectory; the
+    multistep state is an explicit (x, hist) carry, so the trajectory can
+    be split across device programs at any step boundary (pipeline.py uses
+    this to stay under the runtime's per-execute time limit). Running one
+    segment over rows 1..S-1 IS the classic PLMS loop and `plms_sample` is
+    defined that way. Returns (x, hist) to carry into the next segment.
+    """
+
+    def step(carry, ps):
         x, hist = carry
-        t, a_t, a_prev, sqrt_1m_at, coeffs = per_step
+        t, a_t, a_prev, sqrt_1m_at, coeffs = ps
         x9 = jnp.concatenate([x, rest], axis=-1)
         tb = jnp.full((x.shape[0],), t, dtype=jnp.int32)
         eps = _guided_eps(model_fn, x9, tb, cond, uncond, guidance_scale)
@@ -357,12 +380,40 @@ def plms_sample(
         hist = jnp.stack([eps, hist[0], hist[1]])
         return (x, hist), None
 
-    per_step = (
+    (x, hist), _ = jax.lax.scan(step, (x, hist), per_step)
+    return x, hist
+
+
+def plms_per_step_tables(tables: SamplerTables):
+    """The (t, alpha, alpha_prev, sqrt(1-alpha), coeffs) stack for PLMS
+    steps 1..S-1, scan/slice-ready (row i drives step i+1)."""
+    return (
         tables.timesteps[1:],
         tables.alphas[1:],
         tables.alphas_prev[1:],
         tables.sqrt_one_minus_alphas[1:],
         tables.plms_coeffs,
     )
-    (x, _), _ = jax.lax.scan(step, (x, hist), per_step)
+
+
+def plms_sample(
+    model_fn: ModelFn,
+    tables: SamplerTables,
+    x_T: Array,
+    cond: Array,
+    rest: Array,
+    uncond: Optional[Array] = None,
+    guidance_scale: float = 1.0,
+) -> Array:
+    """PLMS (pseudo linear multistep) sampling loop; eta is always 0.
+
+    `plms_prologue` (step 0) + one `plms_scan_segment` over steps 1..S-1.
+    """
+    x, hist = plms_prologue(
+        model_fn, tables, x_T, cond, rest, uncond, guidance_scale
+    )
+    x, _ = plms_scan_segment(
+        model_fn, x, hist, cond, rest, plms_per_step_tables(tables),
+        uncond, guidance_scale,
+    )
     return x

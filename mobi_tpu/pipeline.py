@@ -70,9 +70,9 @@ def make_inpaint_pipeline(
     chunked-vs-unchunked parity, which the tests assert). Single-device
     only — with a mesh the batch axis is already device-sharded.
 
-    sample_segments > 1 (ddim, exact mode only) dispatches the denoising
-    loop as that many separate device programs of num_steps/segments scanned
-    steps each instead of one monolithic program — returns a
+    sample_segments > 1 (exact ddim or plms) dispatches the denoising
+    loop as that many separate device programs of ~num_steps/segments
+    scanned steps each instead of one monolithic program — returns a
     `SegmentedInpaint` (callable with the same signature, plus
     `.preflight()`). Use when ONE execute would exceed the runtime's
     per-program execute-time limit (PROFILE.md: the tunneled v5e kills
@@ -80,17 +80,22 @@ def make_inpaint_pipeline(
     "batch_pairs >= 22 device fault", alongside the genuine HBM overrun at
     22 unchunked). The trajectory math is unchanged: the same scan body
     runs over operand-sliced step tables, so outputs match the monolithic
-    program (tested), and all segments share ONE compiled executable.
-    Composes with `mesh` (each segment is an SPMD program over the
-    dp-sharded batch; step tables replicated) — `.preflight()` is then a
-    documented no-op.
+    program (tested). DDIM segments all share ONE compiled executable; PLMS
+    carries its Adams-Bashforth eps history ring across segment boundaries
+    as an operand (plms.py:221-237 semantics) and compiles at most TWO
+    (step 0's double-eval prologue lives in the prep program, so the first
+    segment scans one step fewer). Composes with `mesh` (each segment is an
+    SPMD program over the dp-sharded batch; step tables replicated) —
+    `.preflight()` is then a documented no-op.
     """
     if vae_chunk_pairs and mesh is not None:
         raise ValueError("vae_chunk_pairs is a single-device HBM lever; "
                          "with a mesh the batch is already sharded")
     if sample_segments > 1:
-        if sampler != "ddim" or encoder_interval > 1:
-            raise ValueError("sample_segments requires the exact ddim path")
+        if sampler not in ("ddim", "plms") or encoder_interval > 1:
+            raise ValueError(
+                "sample_segments requires the exact ddim or plms path"
+            )
         if num_steps % sample_segments:
             raise ValueError(
                 f"num_steps={num_steps} not divisible by sample_segments="
@@ -155,6 +160,7 @@ def make_inpaint_pipeline(
             model, num_steps, guidance_scale, eta, sample_segments,
             get_input_chunked if vae_chunk_pairs else get_input_full,
             decode_fn, mesh=mesh, replicate_outputs=replicate_outputs,
+            sampler=sampler,
         )
 
     def pipeline(params, batch: Dict[str, Any], rng: jax.Array):
@@ -185,42 +191,65 @@ class SegmentedInpaint:
 
     Same math as the monolithic jit (the prep stage mirrors
     MobiDiffusion.sample's rng plumbing exactly — diffusion.py `sample`;
-    the segment body is samplers.ddim_scan_segment, the same scanned step),
-    but no single device program runs longer than num_steps/K denoising
-    steps: the tunneled runtime's per-execute time limit (PROFILE.md) caps
-    a monolithic DDIM-50 at ~20 batch pairs on the v5e, while segments keep
-    every execute short at any batch size. Segments share one compiled
-    executable (step tables are operands); all K+2 dispatches are async, so
-    the device queue stays full and the host adds no serialization.
+    the segment body is samplers.ddim_scan_segment or plms_scan_segment,
+    the same scanned steps), but no single device program runs longer than
+    ~num_steps/K denoising steps: the tunneled runtime's per-execute time
+    limit (PROFILE.md) caps a monolithic DDIM-50 at ~20 batch pairs on the
+    v5e, while segments keep every execute short at any batch size.
 
-    Callable like the jitted pipeline; `preflight()` AOT-compiles the three
+    DDIM segments carry (x, rng) and share ONE compiled executable (step
+    tables are operands). PLMS (plms.py:174-239 semantics) carries its
+    Adams-Bashforth eps-history ring (x, hist[3, ...]) across segment
+    boundaries as operands; step 0's pseudo-improved-Euler double
+    evaluation (plms.py:221-226) runs inside the prep program, so the
+    first segment scans one step fewer and the seg program compiles at
+    most TWO shapes. All K+2 dispatches are async, so the device queue
+    stays full and the host adds no serialization.
+
+    Callable like the jitted pipeline; `preflight()` AOT-compiles the
     programs and HBM-checks each (utils/hbm.py).
     """
 
     def __init__(self, model, num_steps, guidance_scale, eta, segments,
                  get_input_fn, decode_fn, mesh=None,
-                 replicate_outputs: bool = False):
+                 replicate_outputs: bool = False, sampler: str = "ddim"):
         import jax.numpy as jnp
 
-        from mobi_tpu.models.samplers import ddim_scan_segment
+        from mobi_tpu.models.samplers import (
+            ddim_scan_segment,
+            plms_per_step_tables,
+            plms_prologue,
+            plms_scan_segment,
+        )
         from mobi_tpu.ops.schedules import SamplerTables
 
         tables = SamplerTables.create(model.schedule, num_steps, eta=eta)
-        per_step = (
-            tables.timesteps,
-            tables.alphas,
-            tables.alphas_prev,
-            tables.sqrt_one_minus_alphas,
-            tables.sigmas,
-        )
         m = num_steps // segments
+        if sampler == "plms":
+            # row 0 (the prologue) runs in prep; rows 1..S-1 are scanned
+            per_step = plms_per_step_tables(tables)
+            bounds = [(0, m - 1)] + [
+                (m - 1 + i * m, m - 1 + (i + 1) * m)
+                for i in range(segments - 1)
+            ]
+        else:
+            per_step = (
+                tables.timesteps,
+                tables.alphas,
+                tables.alphas_prev,
+                tables.sqrt_one_minus_alphas,
+                tables.sigmas,
+            )
+            bounds = [(i * m, (i + 1) * m) for i in range(segments)]
         self._slices = [
-            jax.tree.map(lambda a: a[i * m : (i + 1) * m], per_step)
-            for i in range(segments)
+            jax.tree.map(lambda a, lo=lo, hi=hi: a[lo:hi], per_step)
+            for lo, hi in bounds
+            if hi > lo  # plms with num_steps == segments: empty 1st segment
         ]
         self._dev_slices = None
         self._model = model
         self._mesh = mesh
+        self._sampler = sampler
 
         # Under a mesh, pin every batch-dim array that crosses a segment
         # boundary to the dp batch sharding: materialized jit outputs are
@@ -230,40 +259,69 @@ class SegmentedInpaint:
         # program (measured ~2e-4 output drift on the CPU mesh without the
         # constraint vs ~1e-6 with it).
         if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from mobi_tpu.parallel.mesh import batch_sharding
 
             _bsh = batch_sharding(mesh)
+            # the plms history ring stacks eps on a leading axis of 3 — its
+            # batch axis is axis 1
+            _hsh = NamedSharding(mesh, P(None, ("dp", "fsdp")))
 
             def shard_b(a):
                 return None if a is None else (
                     jax.lax.with_sharding_constraint(a, _bsh)
                 )
+
+            def shard_h(a):
+                return jax.lax.with_sharding_constraint(a, _hsh)
         else:
             def shard_b(a):
+                return a
+
+            def shard_h(a):
                 return a
 
         def prep(params, batch, rng):
             k1, k2 = jax.random.split(rng)
             data = get_input_fn(params, batch, k1)
             z = data["z"]
+            rest = z[..., 4:]
+            cond = data["cond"]
             uncond = (
                 model.uncond_tokens(params, z.shape[0])
                 if guidance_scale != 1.0 else None
             )
             k_init, _k_loop = jax.random.split(k2)
-            x_T = jax.random.normal(
+            x = jax.random.normal(
                 k_init, z[..., :4].shape, dtype=jnp.float32
             )
-            return (shard_b(x_T), _k_loop, shard_b(z[..., 4:]),
-                    shard_b(data["cond"]), shard_b(uncond),
+            if sampler == "plms":
+                def model_fn(x9, t, ctx):
+                    return model.apply_model(params, x9, t, ctx)
+
+                x, hist = plms_prologue(
+                    model_fn, tables, x, cond, rest, uncond, guidance_scale
+                )
+                carry2 = shard_h(hist)
+            else:
+                carry2 = _k_loop
+            return (shard_b(x), carry2, shard_b(rest),
+                    shard_b(cond), shard_b(uncond),
                     shard_b(data.get("z_lidar_full")))
 
-        def seg(params, x, key, rest, cond, uncond, sl):
+        def seg(params, x, carry2, rest, cond, uncond, sl):
             def model_fn(x9, t, ctx):
                 return model.apply_model(params, x9, t, ctx)
 
+            if sampler == "plms":
+                x, hist = plms_scan_segment(
+                    model_fn, x, carry2, cond, rest, sl, uncond,
+                    guidance_scale,
+                )
+                return shard_b(x), shard_h(hist)
             x, key = ddim_scan_segment(
-                model_fn, key, x, cond, rest, sl, uncond, guidance_scale,
+                model_fn, carry2, x, cond, rest, sl, uncond, guidance_scale,
                 1.0, tables.eta_is_zero,
             )
             return shard_b(x), key
@@ -287,7 +345,8 @@ class SegmentedInpaint:
         self._prep, self._seg, self._dec = (
             jax.jit(prep), jax.jit(seg), jax.jit(dec, out_shardings=dec_out),
         )
-        self._prep_c = self._seg_c = self._dec_c = None
+        self._prep_c = self._dec_c = None
+        self._seg_c: Dict[int, Any] = {}
 
     def _place_slices(self):
         if self._dev_slices is None:
@@ -303,15 +362,16 @@ class SegmentedInpaint:
 
     def __call__(self, params, batch: Dict[str, Any], rng: jax.Array):
         prep = self._prep_c or self._prep
-        seg = self._seg_c or self._seg
         dec = self._dec_c or self._dec
-        x, key, rest, cond, uncond, zf = prep(params, batch, rng)
+        x, carry2, rest, cond, uncond, zf = prep(params, batch, rng)
         for sl in self._place_slices():
-            x, key = seg(params, x, key, rest, cond, uncond, sl)
+            n = int(sl[0].shape[0])
+            seg = self._seg_c.get(n) or self._seg
+            x, carry2 = seg(params, x, carry2, rest, cond, uncond, sl)
         return dec(params, x, zf)
 
     def preflight(self, params, batch, rng, label="inpaint") -> bool:
-        """AOT-compile prep/segment/decode and HBM-check each program's
+        """AOT-compile prep/segment(s)/decode and HBM-check each program's
         plan (utils/hbm.py). Returns True when the checks ran. Subsequent
         calls reuse the compiled executables. Single-device only: under a
         mesh the eval_shape-based lowering would drop the input shardings
@@ -324,16 +384,24 @@ class SegmentedInpaint:
         slices = self._place_slices()
         self._prep_c = self._prep.lower(params, batch, rng).compile()
         outs = jax.eval_shape(self._prep, params, batch, rng)
-        x, key, rest, cond, uncond, zf = outs
-        self._seg_c = self._seg.lower(
-            params, x, key, rest, cond, uncond, slices[0]
-        ).compile()
+        x, carry2, rest, cond, uncond, zf = outs
+        # one executable per distinct segment length (ddim: one; plms: the
+        # prologue-bearing first segment is one step shorter -> up to two)
+        for sl in slices:
+            n = int(sl[0].shape[0])
+            if n not in self._seg_c:
+                self._seg_c[n] = self._seg.lower(
+                    params, x, carry2, rest, cond, uncond, sl
+                ).compile()
         self._dec_c = self._dec.lower(params, x, zf).compile()
         ran = [
             assert_fits(c, label=f"{label} ({name})")
-            for name, c in (("prep", self._prep_c),
-                            ("sampling segment", self._seg_c),
-                            ("decode", self._dec_c))
+            for name, c in (
+                [("prep", self._prep_c)]
+                + [(f"sampling segment[{n} steps]", c)
+                   for n, c in sorted(self._seg_c.items())]
+                + [("decode", self._dec_c)]
+            )
         ]
         return all(ran)
 

@@ -155,9 +155,9 @@ def test_segmented_preflight_and_guards(setup, cpu_devices):
 
     with pytest.raises(ValueError, match="not divisible"):
         make_inpaint_pipeline(model, num_steps=5, sample_segments=2)
-    with pytest.raises(ValueError, match="exact ddim"):
-        make_inpaint_pipeline(model, sampler="plms", sample_segments=2)
-    with pytest.raises(ValueError, match="exact ddim"):
+    with pytest.raises(ValueError, match="exact ddim or plms"):
+        make_inpaint_pipeline(model, sampler="ddpm", sample_segments=2)
+    with pytest.raises(ValueError, match="exact ddim or plms"):
         make_inpaint_pipeline(
             model, num_steps=4, sample_segments=2, encoder_interval=2
         )
@@ -177,6 +177,97 @@ def test_dp_subset_mesh(setup, cpu_devices):
     )
     for k in ref:
         np.testing.assert_allclose(out[k], ref[k], rtol=0, atol=1e-5)
+
+
+def test_segmented_plms_matches_monolithic(setup, cpu_devices):
+    """Segmented PLMS == monolithic PLMS, sample for sample: the
+    Adams-Bashforth eps-history ring (plms.py:221-237) is carried across
+    segment boundaries as an operand and the prologue's double evaluation
+    runs in the prep program, so splitting the trajectory must not change
+    the multistep blend. Covers the reference test benches' default
+    sampler (--plms, realism_test_bench.sh) on the execute-time-limited
+    runtime."""
+    model, params = setup
+    params = jax.device_put(params, cpu_devices[0])
+    batch = make_batch(b=4)
+    rng = jax.random.PRNGKey(17)
+
+    def run(**kw):
+        fn = make_inpaint_pipeline(
+            model, num_steps=4, guidance_scale=2.0, sampler="plms", **kw
+        )
+        return {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+
+    ref = run()
+    out = run(sample_segments=2)  # segment lengths 1 and 2 (+prologue)
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=0, atol=1e-5,
+            err_msg=f"segmented plms {k} differs from monolithic",
+        )
+
+    # num_steps == segments: the prologue absorbs the whole first segment
+    # (empty slice filtered), every remaining segment scans exactly 1 step
+    out1 = run(sample_segments=4)
+    for k in ref:
+        np.testing.assert_allclose(
+            out1[k], ref[k], rtol=0, atol=1e-5,
+            err_msg=f"1-step-segmented plms {k} differs from monolithic",
+        )
+
+
+def test_segmented_plms_preflight(setup, cpu_devices):
+    """preflight AOT-compiles BOTH plms segment shapes (the first segment
+    is one step shorter) and the compiled executables reproduce the eager
+    outputs."""
+    model, params = setup
+    params = jax.device_put(params, cpu_devices[0])
+    batch = make_batch(b=2)
+    rng = jax.random.PRNGKey(3)
+
+    fn = make_inpaint_pipeline(
+        model, num_steps=4, guidance_scale=2.0, sampler="plms",
+        sample_segments=2,
+    )
+    before = {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+    assert fn.preflight(params, batch, rng) is False  # CPU: no HBM budget
+    assert sorted(fn._seg_c) == [1, 2]
+    after = {k: np.asarray(v) for k, v in fn(params, batch, rng).items()}
+    for k in before:
+        np.testing.assert_allclose(after[k], before[k], rtol=0, atol=1e-6)
+
+
+def test_segmented_plms_composes_with_mesh(setup, cpu_devices):
+    """PLMS segments x dp mesh: the history ring's batch axis is axis 1, so
+    it gets its own sharding constraint — a wrong spec here would silently
+    all-gather (or worse, shard the ring axis of 3) between segments.
+    Tolerance as test_segmented_composes_with_mesh (fp32 reassociation
+    across program boundaries)."""
+    model, params = setup
+    batch = make_batch(b=8)
+    rng = jax.random.PRNGKey(23)
+
+    fn_ref = make_inpaint_pipeline(
+        model, num_steps=4, guidance_scale=2.0, sampler="plms"
+    )
+    ref = fn_ref(jax.device_put(params, cpu_devices[0]), batch, rng)
+    ref = {k: np.asarray(v) for k, v in ref.items()}
+
+    mesh = inference_mesh(devices=cpu_devices)
+    fn = make_inpaint_pipeline(
+        model, num_steps=4, guidance_scale=2.0, sampler="plms", mesh=mesh,
+        sample_segments=2,
+    )
+    out = fn(replicate_params(mesh, params), shard_batch(mesh, batch), rng)
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    assert set(out) == set(ref)
+    for k in ref:
+        np.testing.assert_allclose(
+            out[k], ref[k], rtol=0, atol=1e-3,
+            err_msg=f"segmented+mesh plms {k} differs from single-device",
+        )
 
 
 def test_segmented_matches_monolithic_stochastic(setup, cpu_devices):
