@@ -12,12 +12,18 @@ Protocol (all binary bodies are npz):
                   each WITHOUT a leading batch dim. Response: npz with the
                   decode_sample outputs ('camera', 'lidar').
   GET  /healthz   -> {"ok": true}
-  GET  /stats     -> service counters (batches, samples, padded, errors)
+  GET  /stats     -> service counters (batches, samples, padded, errors,
+                  rejected) + rolling latency percentiles (p50/p95/p99)
+
+Overload: with --max-queue set, a request arriving against a full queue is
+rejected with HTTP 503 + Retry-After (mobi_tpu.serve.OverloadedError) —
+bounded memory under any offered load; clients shed and retry.
 
 Usage:
   /opt/venv/bin/python scripts/serve.py --config configs/mobi_nusc_512.yaml
       [--ckpt ckpt] [--port 8476] [--batch-pairs 20] [--ddim_steps 50]
       [--scale 5.0] [--max-wait-ms 200] [--sample-segments 5]
+      [--max-queue 64] [--submit-timeout-s 0]
 
 The reference has no serving surface; its batch loop
 (/root/reference/scripts/inference_test_bench.py:423-461) is the closest
@@ -91,11 +97,13 @@ def make_server(service, port: int = 0) -> ThreadingHTTPServer:
             if self.path == "/healthz":
                 self._json({"ok": True})
             elif self.path == "/stats":
-                self._json(service.stats)
+                self._json({**service.stats, **service.latency_stats()})
             else:
                 self._json({"error": "not found"}, 404)
 
         def do_POST(self):
+            from mobi_tpu.serve import OverloadedError
+
             if self.path != "/inpaint":
                 self._json({"error": "not found"}, 404)
                 return
@@ -109,6 +117,14 @@ def make_server(service, port: int = 0) -> ThreadingHTTPServer:
                 self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
+            except OverloadedError as e:
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                b = json.dumps({"error": f"overloaded: {e}"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(b)))
+                self.end_headers()
+                self.wfile.write(b)
             except Exception as e:
                 self._json({"error": f"{type(e).__name__}: {e}"}, 500)
 
@@ -128,6 +144,13 @@ def main(argv=None):
                    default=200.0)
     p.add_argument("--sample-segments", dest="sample_segments", type=int,
                    default=int(os.environ.get("MOBI_ITB_SEGMENTS", "1")))
+    p.add_argument("--max-queue", dest="max_queue", type=int, default=0,
+                   help="bound the request queue; 0 = unbounded. Full "
+                        "queue -> HTTP 503")
+    p.add_argument("--submit-timeout-s", dest="submit_timeout_s", type=float,
+                   default=0.0,
+                   help="how long a submit may wait for queue space before "
+                        "503 (0 = reject immediately)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("overrides", nargs="*")
     opt = p.parse_args(argv)
@@ -192,9 +215,10 @@ def main(argv=None):
     service = InpaintService(
         model, params, batch_pairs=opt.batch_pairs,
         max_wait_ms=opt.max_wait_ms, rng_seed=opt.seed,
+        max_queue=opt.max_queue, submit_timeout_s=opt.submit_timeout_s,
         num_steps=opt.ddim_steps, guidance_scale=opt.scale,
         sampler="plms" if opt.plms else "ddim",
-        sample_segments=1 if opt.plms else opt.sample_segments,
+        sample_segments=opt.sample_segments,
     )
     server = make_server(service, opt.port)
     print(f"serving on http://127.0.0.1:{server.server_address[1]} "

@@ -20,6 +20,7 @@ import json
 import sys
 import threading
 import time
+import urllib.error
 import urllib.request
 
 import numpy as np
@@ -54,9 +55,9 @@ def post(url, body, timeout):
     req = urllib.request.Request(url, data=body, method="POST")
     t0 = time.perf_counter()
     with urllib.request.urlopen(req, timeout=timeout) as r:
-        body = r.read()
+        resp = r.read()
     dt = time.perf_counter() - t0
-    with np.load(io.BytesIO(body)) as z:
+    with np.load(io.BytesIO(resp)) as z:
         out = {k: z[k] for k in z.files}
     assert all(np.isfinite(v).all() for v in out.values()), "non-finite output"
     return dt
@@ -83,10 +84,16 @@ def main():
 
     lat = [None] * args.n
     errors = []
+    rejected = []
 
     def worker(i):
         try:
             lat[i] = post(url, body, args.timeout)
+        except urllib.error.HTTPError as e:
+            if e.code == 503:  # clean overload rejection (--max-queue full)
+                rejected.append(i)
+            else:
+                errors.append(f"HTTPError {e.code}: {e}")
         except Exception as e:
             errors.append(f"{type(e).__name__}: {e}")
 
@@ -105,16 +112,18 @@ def main():
     if errors:
         print(json.dumps({"errors": errors[:5], "n_errors": len(errors)}))
         sys.exit(1)
-    lat_s = sorted(lat)
+    lat_s = sorted(t for t in lat if t is not None)
+    n_served = len(lat_s)
     with urllib.request.urlopen(
         f"http://{args.host}:{args.port}/stats", timeout=60
     ) as r:
         stats = json.loads(r.read())
     print(json.dumps({
         "n": args.n, "clients": args.clients, "wall_s": round(wall, 2),
-        "served_per_hour": round(args.n / wall * 3600, 1),
-        "latency_p50_s": round(lat_s[len(lat_s) // 2], 2),
-        "latency_p95_s": round(lat_s[int(len(lat_s) * 0.95) - 1], 2),
+        "served": n_served, "rejected_503": len(rejected),
+        "served_per_hour": round(n_served / wall * 3600, 1),
+        "latency_p50_s": round(lat_s[n_served // 2], 2),
+        "latency_p95_s": round(lat_s[max(0, int(n_served * 0.95) - 1)], 2),
         "server_stats": stats,
     }))
 

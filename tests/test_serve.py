@@ -54,7 +54,9 @@ def test_coalesced_batch_matches_direct(setup):
     results = [f.result(timeout=300) for f in futs]
     svc.stop(timeout=60)
 
-    assert svc.stats == {"batches": 1, "samples": 2, "padded": 0, "errors": 0}
+    assert svc.stats == {
+        "batches": 1, "samples": 2, "padded": 0, "errors": 0, "rejected": 0,
+    }
     ref = _direct(model, params, samples)
     for i, res in enumerate(results):
         for k, v in res.items():
@@ -122,6 +124,71 @@ def test_error_fans_out_and_service_survives(setup):
     svc.stop(timeout=60)
     assert svc.stats["errors"] == 1
     assert all(np.isfinite(v).all() for v in good.values())
+
+
+def test_bounded_queue_rejects_cleanly(setup):
+    """max_queue bounds the backlog: submits against a full queue raise
+    OverloadedError immediately (counted in stats['rejected']), accepted
+    requests all complete once the dispatcher drains, and a stopped
+    service rejects instead of accepting work it will never run."""
+    from mobi_tpu.serve import OverloadedError
+
+    model, params = setup
+    samples = _samples(4, seed=4)
+    svc = InpaintService(
+        model, params, batch_pairs=2, max_wait_ms=10, autostart=False,
+        max_queue=2, **PIPE_KW,
+    )
+    accepted = [svc.submit(s) for s in samples[:2]]  # fills the queue
+    with pytest.raises(OverloadedError):
+        svc.submit(samples[2])
+    with pytest.raises(OverloadedError):
+        svc.submit(samples[3])
+    assert svc.stats["rejected"] == 2
+
+    svc.start()
+    results = [f.result(timeout=300) for f in accepted]  # graceful drain
+    svc.stop(timeout=60)
+    assert svc.stats["samples"] == 2
+    for res in results:
+        assert all(np.isfinite(v).all() for v in res.values())
+
+    with pytest.raises(OverloadedError, match="stopping"):
+        svc.submit(samples[0])
+
+
+def test_submit_timeout_waits_for_space(setup):
+    """submit(timeout>0) blocks for queue space instead of rejecting
+    immediately — with the dispatcher draining, the wait succeeds."""
+    model, params = setup
+    samples = _samples(3, seed=5)
+    svc = InpaintService(
+        model, params, batch_pairs=1, max_wait_ms=5, autostart=False,
+        max_queue=1, **PIPE_KW,
+    )
+    first = svc.submit(samples[0])
+    svc.start()  # dispatcher now drains; the next submit's wait succeeds
+    futs = [svc.submit(s, timeout=300) for s in samples[1:]]
+    results = [f.result(timeout=300) for f in [first] + futs]
+    svc.stop(timeout=60)
+    assert svc.stats["rejected"] == 0 and svc.stats["samples"] == 3
+    for res in results:
+        assert all(np.isfinite(v).all() for v in res.values())
+
+
+def test_latency_stats(setup):
+    model, params = setup
+    svc = InpaintService(
+        model, params, batch_pairs=2, max_wait_ms=10, **PIPE_KW
+    )
+    assert svc.latency_stats() == {"latency_count": 0}
+    futs = [svc.submit(s) for s in _samples(4, seed=6)]
+    for f in futs:
+        f.result(timeout=300)
+    svc.stop(timeout=60)
+    ls = svc.latency_stats()
+    assert ls["latency_count"] == 4
+    assert 0 < ls["latency_p50_s"] <= ls["latency_p95_s"] <= ls["latency_p99_s"]
 
 
 def test_http_roundtrip(setup):
