@@ -288,11 +288,20 @@ def import_unet(
 
 
 # ----------------------------------------------------------------- cond
-def import_cond_stage(sd: Dict[str, np.ndarray], num_clip_layers: int = 24) -> Params:
+def import_cond_stage(
+    sd: Dict[str, np.ndarray], num_clip_layers: Optional[int] = None
+) -> Params:
     """`cond_stage_model.*`-stripped dict -> CondStageModel params
-    (CLIP tower + mapper + final_ln + bbox embedder)."""
+    (CLIP tower + mapper + final_ln + bbox embedder).
+
+    num_clip_layers defaults to however many encoder layers the state dict
+    holds (24 for the reference's ViT-L/14)."""
     out: Params = {}
     vm = "transformer.vision_model"
+    if num_clip_layers is None:
+        num_clip_layers = 0
+        while f"{vm}.encoder.layers.{num_clip_layers}.layer_norm1.weight" in sd:
+            num_clip_layers += 1
     if f"{vm}.embeddings.class_embedding" in sd:
         tower: Params = {}
         _set(
@@ -381,7 +390,7 @@ def import_mobi_checkpoint(
     vae_resolution: int = 512,
     vae_ch_mult: Sequence[int] = (1, 2, 4, 4),
     vae_num_res_blocks: int = 2,
-    num_clip_layers: int = 24,
+    num_clip_layers: Optional[int] = None,
 ) -> Params:
     """Full LatentDiffusion Lightning state dict -> mobi_tpu params pytree."""
     sd = to_numpy_state_dict(state_dict)
