@@ -102,9 +102,18 @@ class BBoxEmbedder(nn.Module):
     @nn.compact
     def __call__(self, bbox: Array) -> Array:
         """bbox: [B, 8, 3] normalized corner coordinates -> [B, 1, 768]."""
-        b = bbox.shape[0]
         emb = fourier_embed(bbox.astype(self.dtype), self.num_freqs)
-        emb = emb.reshape(b, -1)
+        # Flatten [B, 8, F] -> [B, 8F] as a concat of static corner slices
+        # instead of a reshape: under pjit, a reshape that merges a dim
+        # adjacent to the sharded batch axis makes GSPMD fall back to
+        # "involuntary full rematerialization" (replicate-then-repartition
+        # — an all-gather of the conditioning activations every train step
+        # on a real pod; MULTICHIP_r03 tail). Concatenating [B, F] slices
+        # keeps the batch sharding intact, and the row-major layout is
+        # identical, so torch checkpoint parity is unchanged.
+        emb = jnp.concatenate(
+            [emb[:, c, :] for c in range(emb.shape[1])], axis=-1
+        )
         h = Dense(self.proj_dims[0], dtype=self.dtype, name="bbox_proj")(emb)
         h = Dense(self.proj_dims[1], dtype=self.dtype, name="linear_1")(h)
         h = nn.silu(h)

@@ -131,7 +131,19 @@ def param_spec(
         elif leaf in _TP_COL_PARALLEL and shape[-1] % tp_size == 0:
             spec[-1] = "tp"
     if fsdp_size > 1:
-        dims = sorted(range(len(shape)), key=lambda i: -shape[i])
+        # Prefer the OUTPUT (last) dim, then largest-first. Sharding a
+        # kernel's contracting dim makes GSPMD partition the matmul over
+        # the contraction, which demands the activation's features be
+        # sharded the same way — for activations carrying the dp-sharded
+        # batch the partitioner then falls back to "involuntary full
+        # rematerialization" (replicate-then-repartition, an all-gather
+        # per step; MULTICHIP_r03 tail, bbox_proj [216, 64]). Output-dim
+        # sharding stores the same bytes per device and composes with a
+        # batch-sharded input without any forced reshard.
+        dims = sorted(
+            range(len(shape)),
+            key=lambda i: (i != len(shape) - 1, -shape[i]),
+        )
         for i in dims:
             if spec[i] is None and shape[i] % fsdp_size == 0 and (
                 shape[i] >= fsdp_size
