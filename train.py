@@ -48,6 +48,9 @@ def parse_args(argv=None):
                    help="max (camera, lidar) pairs per collage dump")
     p.add_argument("--save_top_k", type=int, default=5)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--loader_procs", type=int, default=0,
+                   help="spawned process loader workers (torch num_workers "
+                        "analogue for multi-core hosts); 0 = thread workers")
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--platform", default=None, choices=["cpu"],
                    help="force the jax platform (cpu smoke runs on a machine "
@@ -296,7 +299,8 @@ def main(argv=None):
     # per-process contiguous slices of a shared seed-deterministic global
     # order (DistributedSampler analogue) — shard_batch reassembles the
     # global array from them on multi-process runs
-    shard_kw = dict(shard_index=dist.process_index(), num_shards=nproc)
+    shard_kw = dict(shard_index=dist.process_index(), num_shards=nproc,
+                    num_procs=args.loader_procs)
     train_loader = PrefetchLoader(
         datasets["train"], batch_size, shuffle=True,
         num_threads=workers, seed=args.seed, **shard_kw,
