@@ -214,7 +214,7 @@ def main(argv=None):
     run_batch = make_inpaint_pipeline(
         model, num_steps=opt.ddim_steps, guidance_scale=opt.scale,
         sampler=sampler, eta=opt.ddim_eta, mesh=mesh,
-        sample_segments=opt.sample_segments if not opt.plms else 1,
+        sample_segments=opt.sample_segments,
     )
 
     def strip(batch):
