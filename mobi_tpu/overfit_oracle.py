@@ -1,0 +1,295 @@
+"""Overfit learning oracle: prove train -> sample LEARNS to inpaint.
+
+Module-level golden parity pins every block against the torch reference,
+and training evidence shows loss descent — but neither demonstrates the
+composition: that a model trained by THIS trainer produces correct inpaints
+through THIS sampler. The reference's de-facto oracle is its realism bench
+against published checkpoints (/root/reference/README.md:155-160,
+scripts/realism_test_bench.sh), which cannot run without the artifacts.
+This harness replaces it with a closed-loop test that needs no artifacts:
+
+  1. fabricate a FIXED tiny set of synthetic objects (distinct textures at
+     known box regions, camera + lidar, id-ref conditioning);
+  2. overfit the VAEs on those frames (the reference assumes pretrained
+     frozen VAEs; here they must be learned first so pixel-space
+     comparisons are meaningful);
+  3. overfit the diffusion model (full-UNet mode) on the same set;
+  4. sample inpaints for the SAME objects through the production pipeline
+     (get_input -> scanned DDIM -> decode_sample) and gate on
+     masked-region reconstruction: the sampled inpaint must beat the
+     do-nothing baseline (the blanked hole) and the untrained-model
+     baseline by a wide margin, and clear an absolute PSNR bar.
+
+Used by tests/test_overfit_oracle.py (CPU-sized gate in the suite) and
+scripts/overfit_oracle_drive.py (the v5e drive at mini-256 scale).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+Params = Any
+
+
+# ----------------------------------------------------------------- dataset
+def make_object_set(
+    n_objects: int = 4,
+    h: int = 32,
+    w: int = 32,
+    box: Tuple[int, int, int, int] | None = None,
+    seed: int = 0,
+    ref_hw: Tuple[int, int] | None = None,
+) -> Dict[str, Any]:
+    """A fixed batch of `n_objects` synthetic inpainting problems.
+
+    Each sample: a smooth background with a distinct blocky texture
+    ("object") inside a fixed box; inpaint_mask is 0 inside the box
+    (reference mask semantics: inpaint_image = GT * mask, the hole to
+    fill); the reference crop is the object patch itself resized to the
+    frame (id-ref); ref_bbox is the box's 8 corners with the object's
+    depth. Lidar range_data carries the same texture in (depth,
+    intensity) channels so the joint model must fill both modalities.
+    """
+    rng = np.random.default_rng(seed)
+    if box is None:
+        q_h, q_w = h // 4, w // 4
+        box = (q_h, 3 * q_h, q_w, 3 * q_w)  # (y0, y1, x0, x1) — centered
+    y0, y1, x0, x1 = box
+    f32 = np.float32
+
+    def blocky(shape, cells=4):
+        """Distinct per-object texture: random cells upsampled to shape."""
+        small = rng.uniform(-1, 1, (cells, cells, shape[-1])).astype(f32)
+        reps = (shape[0] // cells, shape[1] // cells)
+        return np.repeat(np.repeat(small, reps[0], 0), reps[1], 1)
+
+    gts, masks, refs, bboxes = [], [], [], []
+    gts_l, masks_l = [], []
+    for i in range(n_objects):
+        # smooth background: horizontal+vertical gradients, object-specific
+        yy, xx = np.mgrid[0:h, 0:w].astype(f32)
+        bg = np.stack(
+            [
+                0.4 * np.sin(2 * np.pi * (xx / w + i / n_objects)),
+                0.4 * np.cos(2 * np.pi * yy / h),
+                np.full((h, w), -0.2 + 0.1 * i, f32),
+            ],
+            axis=-1,
+        ).astype(f32)
+        gt = bg.copy()
+        obj = blocky((y1 - y0, x1 - x0, 3))
+        gt[y0:y1, x0:x1] = obj
+        mask = np.ones((h, w, 1), f32)
+        mask[y0:y1, x0:x1] = 0.0
+
+        # id-ref: the object crop itself, resized to the ref frame by
+        # nearest-neighbor indexing (keeps this module cv2-free).
+        # ref_hw sizes it for the conditioning tower (224 for the real
+        # CLIP ViT-L, frame-sized by default for the tiny test tower)
+        rh, rw = ref_hw or (h, w)
+        ry = np.clip((np.arange(rh) * (y1 - y0)) // rh, 0, y1 - y0 - 1)
+        rx = np.clip((np.arange(rw) * (x1 - x0)) // rw, 0, x1 - x0 - 1)
+        refs.append(obj[np.ix_(ry, rx)])
+
+        depth = 0.3 + 0.1 * i
+        corners = np.array(
+            [
+                [x / w, y / h, depth]
+                for y in (y0, y1)
+                for x in (x0, x1)
+            ] * 2,
+            f32,
+        )  # 8 corners (duplicated front/back face at equal depth)
+        bboxes.append(corners)
+
+        gt_l = np.stack(
+            [0.3 * np.sin(2 * np.pi * xx / w), np.full((h, w), -0.5, f32)],
+            axis=-1,
+        ).astype(f32)
+        gt_l[y0:y1, x0:x1] = blocky((y1 - y0, x1 - x0, 2))
+        gts.append(gt)
+        masks.append(mask)
+        gts_l.append(gt_l)
+        masks_l.append(mask.copy())
+
+    gt = np.stack(gts)
+    mask = np.stack(masks)
+    gt_l = np.stack(gts_l)
+    mask_l = np.stack(masks_l)
+    ref = np.stack(refs)
+    bbox = np.stack(bboxes)
+    return {
+        "image": {
+            "GT": gt,
+            "inpaint_image": gt * mask,
+            "inpaint_mask": mask,
+            "cond": {"ref_image": ref, "ref_bbox": bbox},
+        },
+        "lidar": {
+            "range_data": gt_l,
+            "range_data_inpaint": gt_l * mask_l,
+            "range_mask": mask_l,
+            "cond": {"ref_bbox": bbox.copy()},
+        },
+    }
+
+
+# ------------------------------------------------------------- VAE overfit
+def overfit_vaes(
+    model,
+    params: Params,
+    batch: Dict[str, Any],
+    steps: int = 400,
+    lr: float = 1.5e-3,
+    kl_weight: float = 1e-4,
+    seed: int = 0,
+    log_every: int = 0,
+) -> Tuple[Params, Dict[str, float]]:
+    """Overfit vae_camera and vae_lidar on the object set's frames
+    (GT + inpaint views) with L1 + tiny KL (the reference's pretrained
+    frozen stages stand in for this step in production,
+    ddpm.py:546-562). Returns updated params + final recon L1s."""
+    jobs = [
+        ("vae_camera", model.vae_camera,
+         np.concatenate([batch["image"]["GT"],
+                         batch["image"]["inpaint_image"]])),
+        ("vae_lidar", model.vae_lidar,
+         np.concatenate([batch["lidar"]["range_data"],
+                         batch["lidar"]["range_data_inpaint"]])),
+    ]
+    params = dict(params)
+    finals: Dict[str, float] = {}
+    for name, vae, x_np in jobs:
+        x = jnp.asarray(x_np)
+        tx = optax.adam(lr)
+
+        def loss_fn(vp, rng):
+            post = vae.apply({"params": vp}, x, method=vae.encode)
+            z = post.sample(rng)
+            rec = vae.apply({"params": vp}, z, method=vae.decode)
+            l1 = jnp.abs(rec - x).mean()
+            kl = post.kl().mean() / float(np.prod(x.shape[1:]))
+            return l1 + kl_weight * kl, l1
+
+        @jax.jit
+        def step_fn(vp, opt_state, rng):
+            (_, l1), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                vp, rng
+            )
+            updates, opt_state = tx.update(grads, opt_state, vp)
+            return optax.apply_updates(vp, updates), opt_state, l1
+
+        vp = params[name]
+        opt_state = tx.init(vp)
+        key = jax.random.PRNGKey(seed)
+        for i in range(steps):
+            key, sub = jax.random.split(key)
+            vp, opt_state, l1 = step_fn(vp, opt_state, sub)
+            if log_every and (i + 1) % log_every == 0:
+                print(f"  [{name}] step {i + 1}: recon L1 {float(l1):.4f}",
+                      flush=True)
+        params[name] = vp
+        finals[name] = float(l1)
+    return params, finals
+
+
+# -------------------------------------------------------- diffusion overfit
+def overfit_diffusion(
+    model,
+    params: Params,
+    batch: Dict[str, Any],
+    steps: int = 600,
+    lr: float = 3e-4,
+    seed: int = 0,
+    log_every: int = 0,
+    train_step=None,
+    state=None,
+) -> Tuple[Params, Dict[str, float]]:
+    """Overfit the FULL UNet (MOBI_TRAIN_UNET_FULL, beyond the reference's
+    adapter-only rule — required from random init, where the zero-init
+    out_conv blocks adapter-only gradients) on the fixed object set.
+    Pass (train_step, state) to reuse caller-built sharded machinery."""
+    from mobi_tpu.training import create_train_state, make_train_step
+
+    prev = os.environ.get("MOBI_TRAIN_UNET_FULL")
+    os.environ["MOBI_TRAIN_UNET_FULL"] = "1"
+    try:
+        if state is None:
+            state, tx = create_train_state(
+                model, jax.random.PRNGKey(seed), base_lr=lr, params=params,
+            )
+            train_step = jax.jit(make_train_step(model, tx))
+        key = jax.random.PRNGKey(seed + 1)
+        dev_batch = jax.tree.map(jnp.asarray, batch)
+        loss = float("nan")
+        for i in range(steps):
+            key, sub = jax.random.split(key)
+            state, metrics = train_step(state, dev_batch, sub)
+            if log_every and (i + 1) % log_every == 0:
+                print(
+                    f"  [diffusion] step {i + 1}: loss "
+                    f"{float(metrics['loss']):.4f}",
+                    flush=True,
+                )
+        loss = float(metrics["loss"])
+    finally:
+        if prev is None:
+            os.environ.pop("MOBI_TRAIN_UNET_FULL", None)
+        else:
+            os.environ["MOBI_TRAIN_UNET_FULL"] = prev
+    return state.params, {"final_loss": loss}
+
+
+# ---------------------------------------------------------------- the gate
+def masked_psnr(pred: np.ndarray, gt: np.ndarray, region: np.ndarray) -> float:
+    """PSNR over region==1 pixels only (peak 2.0 for [-1, 1] data)."""
+    pred, gt = np.asarray(pred, np.float64), np.asarray(gt, np.float64)
+    region = np.broadcast_to(np.asarray(region, np.float64), gt.shape)
+    mse = float((((pred - gt) * region) ** 2).sum() / region.sum())
+    return 10.0 * np.log10(4.0 / max(mse, 1e-12))
+
+
+def sample_and_score(
+    model,
+    params: Params,
+    batch: Dict[str, Any],
+    num_steps: int = 20,
+    seed: int = 7,
+    pipeline=None,
+) -> Dict[str, float]:
+    """Sample inpaints for the object set and score masked-region
+    reconstruction vs GT, next to the do-nothing baseline (the blanked
+    hole the model starts from)."""
+    from mobi_tpu.pipeline import make_inpaint_pipeline
+
+    if pipeline is None:
+        pipeline = make_inpaint_pipeline(
+            model, num_steps=num_steps, guidance_scale=1.0, sampler="ddim",
+            deterministic_encode=True,
+        )
+    out = pipeline(params, batch, jax.random.PRNGKey(seed))
+    out = {k: np.asarray(v) for k, v in out.items()}
+
+    region_c = 1.0 - np.asarray(batch["image"]["inpaint_mask"])
+    region_l = 1.0 - np.asarray(batch["lidar"]["range_mask"])
+    gt_c = np.asarray(batch["image"]["GT"])
+    gt_l = np.asarray(batch["lidar"]["range_data"])
+    return {
+        "camera_psnr": masked_psnr(out["camera"], gt_c, region_c),
+        "camera_psnr_baseline": masked_psnr(
+            np.asarray(batch["image"]["inpaint_image"]), gt_c, region_c
+        ),
+        "lidar_psnr": masked_psnr(out["lidar"], gt_l, region_l),
+        "lidar_psnr_baseline": masked_psnr(
+            np.asarray(batch["lidar"]["range_data_inpaint"]), gt_l, region_l
+        ),
+        "lidar_depth_mse": float(
+            (((out["lidar"][..., 0] - gt_l[..., 0])
+              * region_l[..., 0]) ** 2).sum() / region_l[..., 0].sum()
+        ),
+    }

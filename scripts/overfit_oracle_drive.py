@@ -1,0 +1,188 @@
+#!/usr/bin/env python
+"""Overfit learning oracle on the real chip at the mini-256 config.
+
+The v5e-scale run of mobi_tpu.overfit_oracle (the CPU-sized gate lives in
+tests/test_overfit_oracle.py): fabricate a FIXED set of synthetic objects
+at 256x256, overfit the production VAEs on their frames, overfit the full
+UNet (MOBI_TRAIN_UNET_FULL) on the same set, then sample inpaints for the
+SAME objects through the production pipeline and gate on masked-region
+PSNR vs GT beating the do-nothing baseline and an absolute bar. This is
+the train->sample learning proof the reference gets from its realism bench
+against published checkpoints (/root/reference/README.md:155-160), which
+cannot run here without the artifacts.
+
+Writes metrics JSON + before/after PNG grids (GT | masked input | sampled
+inpaint) under --outdir; exits non-zero if the gate fails.
+
+  /opt/venv/bin/python scripts/overfit_oracle_drive.py \
+      [--config configs/mobi_nusc-mini_256.yaml] [--objects 4]
+      [--vae-steps 400] [--diff-steps 1500] [--outdir logs/overfit_oracle]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def save_grid(path: str, rows) -> None:
+    """rows: list of [-1,1] HxWx3 images -> one stacked PNG."""
+    import cv2
+    import numpy as np
+
+    u8 = [
+        np.clip((np.asarray(r, np.float32) + 1.0) * 127.5, 0, 255).astype(
+            np.uint8
+        )
+        for r in rows
+    ]
+    grid = np.concatenate(u8, axis=0)
+    cv2.imwrite(path, cv2.cvtColor(grid, cv2.COLOR_RGB2BGR))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="configs/mobi_nusc-mini_256.yaml")
+    p.add_argument("--objects", type=int, default=4)
+    p.add_argument("--vae-steps", type=int, default=400)
+    p.add_argument("--diff-steps", type=int, default=1500)
+    p.add_argument("--diff-lr", type=float, default=3e-4)
+    p.add_argument("--sample-steps", type=int, default=20)
+    p.add_argument("--outdir", default="logs/overfit_oracle")
+    p.add_argument("--camera-gate-db", type=float, default=2.0,
+                   help="required camera PSNR margin over the do-nothing "
+                        "baseline")
+    p.add_argument("--lidar-gate-db", type=float, default=1.0)
+    p.add_argument("overrides", nargs="*")
+    opt = p.parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from mobi_tpu.models.diffusion import MobiDiffusion
+    from mobi_tpu.overfit_oracle import (
+        make_object_set,
+        overfit_diffusion,
+        overfit_vaes,
+        sample_and_score,
+    )
+    from mobi_tpu.utils.cache import enable_compilation_cache
+    from mobi_tpu.utils.config import load_config, mobi_config_from_yaml
+    from mobi_tpu.utils.param_cache import cached_init
+
+    enable_compilation_cache()
+    cfg = load_config([opt.config], [s for s in opt.overrides if "=" in s])
+    cfg["model"]["params"]["u_cond_percent"] = 0.0  # no CFG dropout: overfit
+    # full-UNet gradients need rematerialization headroom on a 16 GB chip
+    # (PROFILE.md: remat mandatory for full-graph training at 512)
+    cfg["model"]["params"]["unet_config"]["params"].setdefault(
+        "use_checkpoint", True
+    )
+    mcfg = mobi_config_from_yaml(cfg)
+    model = MobiDiffusion(mcfg)
+    dev = jax.devices()[0]
+    print(f"device: {dev}, config: {opt.config} "
+          f"({mcfg.image_height}x{mcfg.image_width})", flush=True)
+
+    t0 = time.time()
+    params = cached_init(
+        lambda r: model.init_params(r), jax.random.PRNGKey(0), repr(mcfg),
+        shape_fn=lambda r: model.init_params(r, on_cpu=False),
+    )
+    params = jax.device_put(params, dev)
+    print(f"params ready in {time.time() - t0:.0f}s", flush=True)
+
+    batch = make_object_set(
+        opt.objects, mcfg.image_height, mcfg.image_width, seed=0,
+        ref_hw=(mcfg.ref_image_size, mcfg.ref_image_size),
+    )
+    os.makedirs(opt.outdir, exist_ok=True)
+
+    t0 = time.time()
+    untrained = sample_and_score(
+        model, params, batch, num_steps=opt.sample_steps
+    )
+    print(f"untrained: { {k: round(v, 2) for k, v in untrained.items()} } "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    t0 = time.time()
+    params, vae_final = overfit_vaes(
+        model, params, batch, steps=opt.vae_steps, log_every=100
+    )
+    print(f"vae overfit: {vae_final} ({time.time() - t0:.0f}s)", flush=True)
+
+    t0 = time.time()
+    params, diff_final = overfit_diffusion(
+        model, params, batch, steps=opt.diff_steps, lr=opt.diff_lr,
+        log_every=200,
+    )
+    print(f"diffusion overfit: {diff_final} ({time.time() - t0:.0f}s)",
+          flush=True)
+
+    t0 = time.time()
+    from mobi_tpu.pipeline import make_inpaint_pipeline
+
+    pipeline = make_inpaint_pipeline(
+        model, num_steps=opt.sample_steps, guidance_scale=1.0,
+        sampler="ddim", deterministic_encode=True,
+    )
+    trained = sample_and_score(
+        model, params, batch, num_steps=opt.sample_steps, pipeline=pipeline
+    )
+    print(f"trained:   { {k: round(v, 2) for k, v in trained.items()} } "
+          f"({time.time() - t0:.0f}s)", flush=True)
+
+    # evidence grids: GT | masked input | sampled inpaint, one file/object
+    out = pipeline(params, batch, jax.random.PRNGKey(7))
+    cam = np.asarray(out["camera"])
+    for i in range(opt.objects):
+        save_grid(
+            os.path.join(opt.outdir, f"object_{i}.png"),
+            [
+                batch["image"]["GT"][i],
+                batch["image"]["inpaint_image"][i],
+                cam[i],
+            ],
+        )
+
+    report = {
+        "config": opt.config,
+        "objects": opt.objects,
+        "vae_steps": opt.vae_steps,
+        "diff_steps": opt.diff_steps,
+        "vae_final_l1": vae_final,
+        "diffusion_final_loss": diff_final["final_loss"],
+        "untrained": untrained,
+        "trained": trained,
+        "gate": {
+            "camera_margin_db": round(
+                trained["camera_psnr"] - trained["camera_psnr_baseline"], 2
+            ),
+            "lidar_margin_db": round(
+                trained["lidar_psnr"] - trained["lidar_psnr_baseline"], 2
+            ),
+        },
+    }
+    passed = (
+        trained["camera_psnr"]
+        > trained["camera_psnr_baseline"] + opt.camera_gate_db
+        and trained["lidar_psnr"]
+        > trained["lidar_psnr_baseline"] + opt.lidar_gate_db
+        and trained["camera_psnr"] > untrained["camera_psnr"] + 3.0
+    )
+    report["gate"]["passed"] = bool(passed)
+    with open(os.path.join(opt.outdir, "report.json"), "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report["gate"]), flush=True)
+    if not passed:
+        print("OVERFIT ORACLE GATE FAILED", flush=True)
+        sys.exit(1)
+    print("OVERFIT ORACLE GATE PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()
