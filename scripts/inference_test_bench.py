@@ -69,6 +69,14 @@ def parse_args(argv=None):
         "would exceed a runtime per-program limit (PROFILE.md 'device "
         "fault ... execute-time limit'); exact ddim, single device only",
     )
+    p.add_argument(
+        "--encoder-interval", dest="encoder_interval", type=int, default=1,
+        help="encoder propagation: run the UNet encoder+middle every Nth "
+        "DDIM step, reusing cached skips otherwise ('Faster Diffusion', "
+        "arXiv 2312.09608). APPROXIMATE — off (1) keeps exact reference "
+        "DDIM semantics; accuracy sweep in scripts/encoder_prop_accuracy.py "
+        "and the realism-harness A/B in PROFILE.md",
+    )
     p.add_argument("--mesh-dp", dest="mesh_dp", type=int, default=1,
                    help="data-parallel inference over the first N devices "
                         "(params replicated, whole (cam,lidar) pairs per "
@@ -215,6 +223,7 @@ def main(argv=None):
         model, num_steps=opt.ddim_steps, guidance_scale=opt.scale,
         sampler=sampler, eta=opt.ddim_eta, mesh=mesh,
         sample_segments=opt.sample_segments,
+        encoder_interval=opt.encoder_interval,
     )
 
     def strip(batch):

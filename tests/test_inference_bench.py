@@ -88,6 +88,15 @@ def test_intensity_paste_units(tmp_path, fixed):
         assert np.abs(int_final[inst]).max() <= 1.0 + 1e-9
 
 
+def test_encoder_interval_flag():
+    """--encoder-interval reaches make_inpaint_pipeline (the opt-in
+    approximate fast mode; exact DDIM by default)."""
+    assert parse_args(["--config", "x"]).encoder_interval == 1
+    assert parse_args(
+        ["--config", "x", "--encoder-interval", "2"]
+    ).encoder_interval == 2
+
+
 def test_sample_segments_flag(monkeypatch):
     """--sample-segments (env MOBI_ITB_SEGMENTS default) reaches
     make_inpaint_pipeline's sample_segments — the itb analogue of bench.py's
