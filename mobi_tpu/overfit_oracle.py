@@ -26,6 +26,7 @@ scripts/overfit_oracle_drive.py (the v5e drive at mini-256 scale).
 from __future__ import annotations
 
 import os
+from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
@@ -149,11 +150,16 @@ def overfit_vaes(
     kl_weight: float = 1e-4,
     seed: int = 0,
     log_every: int = 0,
+    minibatch: int = 0,
 ) -> Tuple[Params, Dict[str, float]]:
     """Overfit vae_camera and vae_lidar on the object set's frames
     (GT + inpaint views) with L1 + tiny KL (the reference's pretrained
     frozen stages stand in for this step in production,
-    ddpm.py:546-562). Returns updated params + final recon L1s."""
+    ddpm.py:546-562). Returns updated params + final recon L1s.
+
+    minibatch > 0 trains on a random `minibatch`-sized slice of the frames
+    per step — the full-frame VAE backward at 256+ resolution blows HBM at
+    full frame count on a 16 GB chip (ResourceExhausted, measured)."""
     jobs = [
         ("vae_camera", model.vae_camera,
          np.concatenate([batch["image"]["GT"],
@@ -165,10 +171,11 @@ def overfit_vaes(
     params = dict(params)
     finals: Dict[str, float] = {}
     for name, vae, x_np in jobs:
-        x = jnp.asarray(x_np)
+        n = x_np.shape[0]
+        mb = min(minibatch, n) if minibatch else n
         tx = optax.adam(lr)
 
-        def loss_fn(vp, rng):
+        def loss_fn(vp, x, rng):
             post = vae.apply({"params": vp}, x, method=vae.encode)
             z = post.sample(rng)
             rec = vae.apply({"params": vp}, z, method=vae.decode)
@@ -176,10 +183,14 @@ def overfit_vaes(
             kl = post.kl().mean() / float(np.prod(x.shape[1:]))
             return l1 + kl_weight * kl, l1
 
-        @jax.jit
-        def step_fn(vp, opt_state, rng):
+        # donate params+opt: without aliasing, input and output trees
+        # coexist across the step boundary and the run OOMs even though
+        # the compile fit (same rule as train.py:284-292, PROFILE.md
+        # "donate_argnums on the train step")
+        @partial(jax.jit, donate_argnums=(0, 1))
+        def step_fn(vp, opt_state, x, rng):
             (_, l1), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                vp, rng
+                vp, x, rng
             )
             updates, opt_state = tx.update(grads, opt_state, vp)
             return optax.apply_updates(vp, updates), opt_state, l1
@@ -187,9 +198,19 @@ def overfit_vaes(
         vp = params[name]
         opt_state = tx.init(vp)
         key = jax.random.PRNGKey(seed)
+        sel = np.random.default_rng(seed)
         for i in range(steps):
             key, sub = jax.random.split(key)
-            vp, opt_state, l1 = step_fn(vp, opt_state, sub)
+            # host-side selection: upload only the minibatch, never hold
+            # a gathered copy of the full frame set on device
+            x = jnp.asarray(
+                x_np if mb == n
+                else x_np[sel.choice(n, size=mb, replace=False)]
+            )
+            vp, opt_state, l1 = step_fn(vp, opt_state, x, sub)
+            if (i + 1) % 25 == 0:
+                # bound in-flight executes on the tunneled runtime
+                l1.block_until_ready()
             if log_every and (i + 1) % log_every == 0:
                 print(f"  [{name}] step {i + 1}: recon L1 {float(l1):.4f}",
                       flush=True)
@@ -223,13 +244,19 @@ def overfit_diffusion(
             state, tx = create_train_state(
                 model, jax.random.PRNGKey(seed), base_lr=lr, params=params,
             )
-            train_step = jax.jit(make_train_step(model, tx))
+            # donated, like the production trainer (train.py:284-292):
+            # un-aliased params+opt in/out trees OOM a 16 GB chip
+            train_step = jax.jit(
+                make_train_step(model, tx), donate_argnums=(0,)
+            )
         key = jax.random.PRNGKey(seed + 1)
         dev_batch = jax.tree.map(jnp.asarray, batch)
         loss = float("nan")
         for i in range(steps):
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, dev_batch, sub)
+            if (i + 1) % 25 == 0:
+                jax.block_until_ready(metrics["loss"])
             if log_every and (i + 1) % log_every == 0:
                 print(
                     f"  [diffusion] step {i + 1}: loss "

@@ -49,6 +49,9 @@ def main(argv=None):
     p.add_argument("--config", default="configs/mobi_nusc-mini_256.yaml")
     p.add_argument("--objects", type=int, default=4)
     p.add_argument("--vae-steps", type=int, default=400)
+    p.add_argument("--vae-minibatch", type=int, default=2,
+                   help="frames per VAE train step (full-frame backward at "
+                        "256 OOMs a 16 GB chip)")
     p.add_argument("--diff-steps", type=int, default=1500)
     p.add_argument("--diff-lr", type=float, default=3e-4)
     p.add_argument("--sample-steps", type=int, default=20)
@@ -111,7 +114,8 @@ def main(argv=None):
 
     t0 = time.time()
     params, vae_final = overfit_vaes(
-        model, params, batch, steps=opt.vae_steps, log_every=100
+        model, params, batch, steps=opt.vae_steps, log_every=100,
+        minibatch=opt.vae_minibatch,
     )
     print(f"vae overfit: {vae_final} ({time.time() - t0:.0f}s)", flush=True)
 
