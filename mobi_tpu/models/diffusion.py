@@ -110,6 +110,10 @@ class MobiConfig:
     unet_attention_resolutions: Sequence[int] = (4, 2, 1)
     unet_num_heads: int = 8
     unet_use_checkpoint: "bool | str" = False
+    # remat per VAE block (needed to fit VAE training/overfit backwards at
+    # 256+ resolution on a 16 GB chip). repr=False: remat never changes
+    # parameter values, so param-cache keys (keyed on repr) stay stable.
+    vae_use_checkpoint: bool = dataclasses.field(default=False, repr=False)
     attn_backend: str = "auto"
     context_dim: int = 768
     vae_ch: int = 128
@@ -165,6 +169,7 @@ class MobiDiffusion:
                 num_res_blocks=config.vae_num_res_blocks,
                 resolution=config.image_height,
                 out_ch=3,
+                use_checkpoint=config.vae_use_checkpoint,
                 dtype=config.dtype,
             )
             if config.use_camera
@@ -179,6 +184,7 @@ class MobiDiffusion:
                 resolution=config.range_height,
                 out_ch=2,
                 lidar_adapter=True,
+                use_checkpoint=config.vae_use_checkpoint,
                 dtype=config.dtype,
             )
             if config.use_lidar

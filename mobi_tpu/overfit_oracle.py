@@ -37,6 +37,14 @@ import optax
 Params = Any
 
 
+def live_hbm_gb() -> float:
+    """Sum of live device-array bytes in this client (diagnostic; logged
+    between oracle phases so OOMs in the drive log come with data)."""
+    return sum(
+        int(np.prod(a.shape)) * a.dtype.itemsize for a in jax.live_arrays()
+    ) / 2**30
+
+
 # ----------------------------------------------------------------- dataset
 def make_object_set(
     n_objects: int = 4,
@@ -216,6 +224,15 @@ def overfit_vaes(
                       flush=True)
         params[name] = vp
         finals[name] = float(l1)
+        # drop the job's optimizer state and compiled executables before
+        # the next job compiles: on a 16 GB chip with the full mini-256
+        # model resident the second job's first execute otherwise lands on
+        # top of job-1 leftovers (ResourceExhausted, measured)
+        del opt_state, vp, l1
+        jax.clear_caches()
+        if log_every:
+            print(f"  [{name}] done; live device GB {live_hbm_gb():.2f}",
+                  flush=True)
     return params, finals
 
 
@@ -241,6 +258,7 @@ def overfit_diffusion(
     os.environ["MOBI_TRAIN_UNET_FULL"] = "1"
     try:
         if state is None:
+            jax.clear_caches()  # drop prior phases' executables first
             state, tx = create_train_state(
                 model, jax.random.PRNGKey(seed), base_lr=lr, params=params,
             )

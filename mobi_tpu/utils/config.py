@@ -155,6 +155,7 @@ def mobi_config_from_yaml(cfg: Dict):
         unet_attention_resolutions=tuple(unet.get("attention_resolutions", (4, 2, 1))),
         unet_num_heads=unet.get("num_heads", 8),
         unet_use_checkpoint=unet.get("use_checkpoint", False),
+        vae_use_checkpoint=first.get("use_checkpoint", False),
         attn_backend=unet.get("attn_backend", cfg.get("attn_backend", "auto")),
         context_dim=unet.get("context_dim", 768),
         vae_ch=dd.get("ch", 128),

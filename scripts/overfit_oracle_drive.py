@@ -68,6 +68,7 @@ def main(argv=None):
 
     from mobi_tpu.models.diffusion import MobiDiffusion
     from mobi_tpu.overfit_oracle import (
+        live_hbm_gb,
         make_object_set,
         overfit_diffusion,
         overfit_vaes,
@@ -81,8 +82,17 @@ def main(argv=None):
     cfg = load_config([opt.config], [s for s in opt.overrides if "=" in s])
     cfg["model"]["params"]["u_cond_percent"] = 0.0  # no CFG dropout: overfit
     # full-UNet gradients need rematerialization headroom on a 16 GB chip
-    # (PROFILE.md: remat mandatory for full-graph training at 512)
+    # (PROFILE.md: remat mandatory for full-graph training at 512), and so
+    # do the VAE overfit backwards at 256^2: the lidar adapter's four extra
+    # full-res ResnetBlocks push the un-remat'd backward past the camera
+    # step's already-near-limit peak (first lidar step ResourceExhausted
+    # with only 5.9 GB live, measured)
     cfg["model"]["params"]["unet_config"]["params"].setdefault(
+        "use_checkpoint", True
+    )
+    # (first_stage use_checkpoint governs BOTH VAEs via
+    # MobiConfig.vae_use_checkpoint)
+    cfg["model"]["params"]["first_stage_config"]["params"].setdefault(
         "use_checkpoint", True
     )
     mcfg = mobi_config_from_yaml(cfg)
@@ -110,7 +120,9 @@ def main(argv=None):
         model, params, batch, num_steps=opt.sample_steps
     )
     print(f"untrained: { {k: round(v, 2) for k, v in untrained.items()} } "
-          f"({time.time() - t0:.0f}s)", flush=True)
+          f"({time.time() - t0:.0f}s); live device GB {live_hbm_gb():.2f}",
+          flush=True)
+    jax.clear_caches()  # the untrained pipeline's executables are done
 
     t0 = time.time()
     params, vae_final = overfit_vaes(
@@ -124,8 +136,9 @@ def main(argv=None):
         model, params, batch, steps=opt.diff_steps, lr=opt.diff_lr,
         log_every=200,
     )
-    print(f"diffusion overfit: {diff_final} ({time.time() - t0:.0f}s)",
-          flush=True)
+    print(f"diffusion overfit: {diff_final} ({time.time() - t0:.0f}s); "
+          f"live device GB {live_hbm_gb():.2f}", flush=True)
+    jax.clear_caches()  # free the train-step executable before sampling
 
     t0 = time.time()
     from mobi_tpu.pipeline import make_inpaint_pipeline

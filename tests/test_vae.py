@@ -79,3 +79,44 @@ def test_kl_sampling_uses_rng():
     s1 = post.sample(jax.random.PRNGKey(1))
     s2 = post.sample(jax.random.PRNGKey(2))
     assert not np.allclose(np.asarray(s1), np.asarray(s2))
+
+
+def test_vae_remat_identical_params_and_outputs():
+    """vae_use_checkpoint (MobiConfig -> AutoencoderKL use_checkpoint)
+    rematerializes per block without changing the parameter tree, forward
+    outputs, or the param-cache key (MobiConfig repr) — it is pure memory/
+    compute trade, needed to fit VAE training backwards at 256^2 on a
+    16 GB chip (scripts/overfit_oracle_drive.py)."""
+    import dataclasses
+
+    from mobi_tpu.models.diffusion import MobiConfig
+
+    assert "vae_use_checkpoint" not in repr(MobiConfig())
+    assert repr(MobiConfig(vae_use_checkpoint=True)) == repr(MobiConfig())
+
+    x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 2))
+    outs, trees = [], []
+    for remat in (False, True):
+        vae = AutoencoderKL(
+            embed_dim=4, out_ch=2, lidar_adapter=True,
+            use_checkpoint=remat, **SMALL,
+        )
+        params = vae.init(jax.random.PRNGKey(0), x, jax.random.PRNGKey(1))
+        trees.append(params)
+        y, _ = vae.apply(params, x, jax.random.PRNGKey(3),
+                         sample_posterior=False)
+        outs.append(np.asarray(y))
+
+        def loss(p, vae=vae):
+            post = vae.apply(p, x, method=vae.encode)
+            rec = vae.apply(p, post.mode(), method=vae.decode)
+            return jnp.abs(rec - x).mean()
+
+        g = jax.grad(loss)(params)
+        assert all(
+            bool(jnp.isfinite(l).all())
+            for l in jax.tree_util.tree_leaves(g)
+        )
+    a, b = (jax.tree_util.tree_leaves(t) for t in trees)
+    assert all(bool(jnp.array_equal(x_, y_)) for x_, y_ in zip(a, b))
+    np.testing.assert_allclose(outs[0], outs[1], atol=1e-6)
