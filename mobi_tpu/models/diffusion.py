@@ -307,7 +307,14 @@ class MobiDiffusion:
     ) -> Array:
         posterior = vae.apply({"params": vae_params}, x, method=vae.encode)
         z = posterior.mode() if deterministic else posterior.sample(rng)
-        return scale * z
+        # The reference DETACHES first-stage encodings (ddpm.py:531,1015:
+        # `get_first_stage_encoding(...).detach()` under @torch.no_grad) —
+        # latents are data, never a gradient path. stop_gradient is the
+        # same semantics and a hard memory requirement here: without it,
+        # a remat'd (use_checkpoint) VAE encode is recomputed INSIDE the
+        # UNet backward and its temps land on the backward's peak
+        # (mini-256 full-UNet step: 16.33 GB > 15.75 GB HBM, measured).
+        return jax.lax.stop_gradient(scale * z)
 
     def _encode_triplet(
         self, vae, vae_params, gt, inpaint, mask, rng, scale,

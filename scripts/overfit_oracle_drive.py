@@ -60,6 +60,8 @@ def main(argv=None):
                    help="required camera PSNR margin over the do-nothing "
                         "baseline")
     p.add_argument("--lidar-gate-db", type=float, default=1.0)
+    p.add_argument("--fresh", action="store_true",
+                   help="ignore an existing post-VAE phase checkpoint")
     p.add_argument("overrides", nargs="*")
     opt = p.parse_args(argv)
 
@@ -101,35 +103,58 @@ def main(argv=None):
     print(f"device: {dev}, config: {opt.config} "
           f"({mcfg.image_height}x{mcfg.image_width})", flush=True)
 
-    t0 = time.time()
-    params = cached_init(
-        lambda r: model.init_params(r), jax.random.PRNGKey(0), repr(mcfg),
-        shape_fn=lambda r: model.init_params(r, on_cpu=False),
-    )
-    params = jax.device_put(params, dev)
-    print(f"params ready in {time.time() - t0:.0f}s", flush=True)
-
     batch = make_object_set(
         opt.objects, mcfg.image_height, mcfg.image_width, seed=0,
         ref_hw=(mcfg.ref_image_size, mcfg.ref_image_size),
     )
     os.makedirs(opt.outdir, exist_ok=True)
 
-    t0 = time.time()
-    untrained = sample_and_score(
-        model, params, batch, num_steps=opt.sample_steps
-    )
-    print(f"untrained: { {k: round(v, 2) for k, v in untrained.items()} } "
-          f"({time.time() - t0:.0f}s); live device GB {live_hbm_gb():.2f}",
-          flush=True)
-    jax.clear_caches()  # the untrained pipeline's executables are done
+    # Phase checkpoint: init + untrained-score + VAE overfit take ~25 min
+    # on this host; a crash in the (long-compile) diffusion phase should
+    # not repeat them on rerun.
+    import pickle
 
-    t0 = time.time()
-    params, vae_final = overfit_vaes(
-        model, params, batch, steps=opt.vae_steps, log_every=100,
-        minibatch=opt.vae_minibatch,
-    )
-    print(f"vae overfit: {vae_final} ({time.time() - t0:.0f}s)", flush=True)
+    phase_ckpt = os.path.join(opt.outdir, "phase_vae.pkl")
+    if os.path.exists(phase_ckpt) and not opt.fresh:
+        t0 = time.time()
+        with open(phase_ckpt, "rb") as f:
+            saved = pickle.load(f)
+        params = jax.device_put(saved["params"], dev)
+        untrained, vae_final = saved["untrained"], saved["vae_final"]
+        print(f"resumed post-VAE phase from {phase_ckpt} "
+              f"({time.time() - t0:.0f}s); untrained={untrained} "
+              f"vae_final={vae_final}", flush=True)
+    else:
+        t0 = time.time()
+        params = cached_init(
+            lambda r: model.init_params(r), jax.random.PRNGKey(0), repr(mcfg),
+            shape_fn=lambda r: model.init_params(r, on_cpu=False),
+        )
+        params = jax.device_put(params, dev)
+        print(f"params ready in {time.time() - t0:.0f}s", flush=True)
+
+        t0 = time.time()
+        untrained = sample_and_score(
+            model, params, batch, num_steps=opt.sample_steps
+        )
+        print(f"untrained: { {k: round(v, 2) for k, v in untrained.items()} } "
+              f"({time.time() - t0:.0f}s); live device GB {live_hbm_gb():.2f}",
+              flush=True)
+        jax.clear_caches()  # the untrained pipeline's executables are done
+
+        t0 = time.time()
+        params, vae_final = overfit_vaes(
+            model, params, batch, steps=opt.vae_steps, log_every=100,
+            minibatch=opt.vae_minibatch,
+        )
+        print(f"vae overfit: {vae_final} ({time.time() - t0:.0f}s)",
+              flush=True)
+        with open(phase_ckpt, "wb") as f:
+            pickle.dump(
+                {"params": jax.device_get(params), "untrained": untrained,
+                 "vae_final": vae_final}, f,
+            )
+        print(f"phase checkpoint written: {phase_ckpt}", flush=True)
 
     t0 = time.time()
     params, diff_final = overfit_diffusion(

@@ -162,6 +162,27 @@ def test_train_step_updates_only_adapters(tiny_setup):
     assert moved > 0
 
 
+def test_latents_detached_from_input(tiny_setup):
+    """The reference DETACHES first-stage encodings (ddpm.py:531,1015) —
+    latents are data, not a gradient path. Parity observable: d(loss)/d(GT
+    image) through training_loss is exactly zero (and XLA therefore never
+    schedules a VAE-encode backward/remat inside the train step — the
+    mini-256 OOM root cause, PROFILE.md 'Overfit learning oracle')."""
+    model, state, _ = tiny_setup
+    batch = make_batch(b=2)
+
+    def loss_wrt_image(img):
+        b = dict(batch)
+        b["image"] = dict(batch["image"], GT=img)
+        loss, _ = model.training_loss(
+            state.params, b, jax.random.PRNGKey(3)
+        )
+        return loss
+
+    g = jax.grad(loss_wrt_image)(jnp.asarray(batch["image"]["GT"]))
+    assert float(jnp.abs(g).max()) == 0.0
+
+
 def test_train_step_sharded_8dev(tiny_setup, cpu_devices):
     """Full dp x fsdp sharded train step on the virtual 8-CPU mesh."""
     model, state, step_fn = tiny_setup
