@@ -247,11 +247,14 @@ def overfit_diffusion(
     log_every: int = 0,
     train_step=None,
     state=None,
+    optimizer: str = "adamw",
 ) -> Tuple[Params, Dict[str, float]]:
     """Overfit the FULL UNet (MOBI_TRAIN_UNET_FULL, beyond the reference's
     adapter-only rule — required from random init, where the zero-init
     out_conv blocks adapter-only gradients) on the fixed object set.
-    Pass (train_step, state) to reuse caller-built sharded machinery."""
+    Pass (train_step, state) to reuse caller-built sharded machinery.
+    optimizer="adafactor" fits the full-UNet mini-256 step in 16 GB HBM
+    (AdamW's fp32 slots alone are ~7.8 GB there)."""
     from mobi_tpu.training import create_train_state, make_train_step
 
     prev = os.environ.get("MOBI_TRAIN_UNET_FULL")
@@ -261,6 +264,7 @@ def overfit_diffusion(
             jax.clear_caches()  # drop prior phases' executables first
             state, tx = create_train_state(
                 model, jax.random.PRNGKey(seed), base_lr=lr, params=params,
+                optimizer=optimizer,
             )
             # donated, like the production trainer (train.py:284-292):
             # un-aliased params+opt in/out trees OOM a 16 GB chip

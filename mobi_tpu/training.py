@@ -159,23 +159,37 @@ def make_optimizer(
     weight_decay: float = 1e-2,
     accumulate_steps: int = 1,
     schedule: Optional[optax.Schedule] = None,
+    optimizer: str = "adamw",
 ) -> optax.GradientTransformation:
-    """AdamW restricted to the trainable (adapter) partition.
+    """Optimizer restricted to the trainable (adapter) partition.
 
     `optax.masked` passes mask-False updates through UNCHANGED (they are the
     raw gradients), so the frozen complement must be explicitly zeroed —
     otherwise every frozen leaf (UNet backbone, VAEs, CLIP) would receive its
     gradient as a parameter update each step.
+
+    optimizer: "adamw" (reference parity, main.py's AdamW; 2 fp32 slots per
+    trainable param) or "adafactor" (factored second moment, ~sqrt the slot
+    memory — the standard TPU lever when the Adam slots do not fit HBM:
+    full-UNet training of the mini-256 config needs 13.69 GB of
+    params+slots with AdamW vs ~6 GB factored, PROFILE.md 'Overfit
+    learning oracle').
     """
     mask = model.trainable_mask(params)
     not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
-    tx = optax.adamw(
-        learning_rate=schedule or lambda_linear_schedule(base_lr, warm_up_steps),
-        b1=0.9,
-        b2=0.999,
-        eps=1e-8,
-        weight_decay=weight_decay,
-    )
+    lr = schedule or lambda_linear_schedule(base_lr, warm_up_steps)
+    if optimizer == "adamw":
+        tx = optax.adamw(
+            learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
+            weight_decay=weight_decay,
+        )
+    elif optimizer == "adafactor":
+        tx = optax.adafactor(
+            learning_rate=lr, multiply_by_parameter_scale=False,
+            clipping_threshold=1.0, weight_decay_rate=weight_decay,
+        )
+    else:
+        raise ValueError(f"unknown optimizer {optimizer!r}")
     tx = optax.chain(
         optax.masked(optax.set_to_zero(), not_mask),
         optax.masked(tx, mask),
@@ -200,6 +214,7 @@ def create_train_state(
     accumulate_steps: int = 1,
     params: Optional[Params] = None,
     scheduler_config: Optional[dict] = None,
+    optimizer: str = "adamw",
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Build (TrainState, optimizer). Pass `params` to start from existing
     (e.g. torch-imported pretrained) weights instead of a fresh init."""
@@ -209,6 +224,7 @@ def create_train_state(
         model, params, base_lr, accumulate_steps=accumulate_steps,
         schedule=(schedule_from_config(base_lr, scheduler_config)
                   if scheduler_config else None),
+        optimizer=optimizer,
     )
     opt_state = tx.init(params)
     ema = ema_init(params["unet"]) if use_ema else None

@@ -53,7 +53,16 @@ def main(argv=None):
                    help="frames per VAE train step (full-frame backward at "
                         "256 OOMs a 16 GB chip)")
     p.add_argument("--diff-steps", type=int, default=1500)
-    p.add_argument("--diff-lr", type=float, default=3e-4)
+    p.add_argument("--diff-lr", type=float, default=1e-3,
+                   help="adafactor wants ~3-4x the AdamW lr (tiny-config "
+                        "A/B: adafactor@1e-3 descends faster than "
+                        "adamw@3e-4; adafactor@3e-4 barely moves)")
+    p.add_argument("--optimizer", default="adafactor",
+                   choices=["adamw", "adafactor"],
+                   help="adafactor (default): AdamW's fp32 slots for the "
+                        "full UNet are ~7.8 GB — params+slots+program do "
+                        "not fit 15.75 GB HBM at mini-256 (measured "
+                        "16.33 GB); the factored second moment does")
     p.add_argument("--sample-steps", type=int, default=20)
     p.add_argument("--outdir", default="logs/overfit_oracle")
     p.add_argument("--camera-gate-db", type=float, default=2.0,
@@ -159,10 +168,15 @@ def main(argv=None):
     t0 = time.time()
     params, diff_final = overfit_diffusion(
         model, params, batch, steps=opt.diff_steps, lr=opt.diff_lr,
-        log_every=200,
+        log_every=200, optimizer=opt.optimizer,
     )
     print(f"diffusion overfit: {diff_final} ({time.time() - t0:.0f}s); "
           f"live device GB {live_hbm_gb():.2f}", flush=True)
+    with open(os.path.join(opt.outdir, "trained_params.pkl"), "wb") as f:
+        pickle.dump({"params": jax.device_get(params),
+                     "diff_final": diff_final}, f)
+    print("trained params written (TRAINED-weight follow-ups: encoder-prop "
+          "A/B, .ckpt export round-trip)", flush=True)
     jax.clear_caches()  # free the train-step executable before sampling
 
     t0 = time.time()

@@ -162,6 +162,33 @@ def test_train_step_updates_only_adapters(tiny_setup):
     assert moved > 0
 
 
+def test_adafactor_option_trains_adapters_only(tiny_setup):
+    """optimizer="adafactor" (the TPU HBM lever: factored second moment vs
+    AdamW's two fp32 slots) must keep the same freeze semantics — frozen
+    leaves bit-identical, trainables moving, loss finite."""
+    model, state, _ = tiny_setup
+    af_state, af_tx = create_train_state(
+        model, jax.random.PRNGKey(0), base_lr=1e-3, params=state.params,
+        optimizer="adafactor",
+    )
+    step_fn = jax.jit(make_train_step(model, af_tx))
+    new_state, metrics = step_fn(af_state, make_batch(b=2), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    mask = model.trainable_mask(af_state.params)
+    moved = 0
+    for (p, trainable), (_, before), (_, after) in zip(
+        jax.tree_util.tree_leaves_with_path(mask),
+        jax.tree_util.tree_leaves_with_path(af_state.params),
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+    ):
+        changed = bool(np.any(np.asarray(before) != np.asarray(after)))
+        if not trainable:
+            assert not changed, f"frozen param changed: {jax.tree_util.keystr(p)}"
+        else:
+            moved += changed
+    assert moved > 0
+
+
 def test_latents_detached_from_input(tiny_setup):
     """The reference DETACHES first-stage encodings (ddpm.py:531,1015) —
     latents are data, not a gradient path. Parity observable: d(loss)/d(GT

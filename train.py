@@ -52,6 +52,12 @@ def parse_args(argv=None):
                    help="spawned process loader workers (torch num_workers "
                         "analogue for multi-core hosts); 0 = thread workers")
     p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--optimizer", default="adamw",
+                   choices=["adamw", "adafactor"],
+                   help="adamw = reference parity (main.py AdamW); "
+                        "adafactor = factored second moment, the TPU HBM "
+                        "lever when Adam's fp32 slots don't fit (full-UNet "
+                        "training on a 16 GB chip)")
     p.add_argument("--platform", default=None, choices=["cpu"],
                    help="force the jax platform (cpu smoke runs on a machine "
                         "whose default backend is a TPU)")
@@ -178,6 +184,7 @@ def main(argv=None):
         use_ema=cfg["model"]["params"].get("use_ema", False),
         params=init_params,
         scheduler_config=cfg["model"]["params"].get("scheduler_config"),
+        optimizer=args.optimizer,
     )
 
     ckpt_dir = os.path.join(logdir, "checkpoints")
