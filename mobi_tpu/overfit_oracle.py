@@ -248,13 +248,18 @@ def overfit_diffusion(
     train_step=None,
     state=None,
     optimizer: str = "adamw",
+    cosine_decay: bool = False,
 ) -> Tuple[Params, Dict[str, float]]:
     """Overfit the FULL UNet (MOBI_TRAIN_UNET_FULL, beyond the reference's
     adapter-only rule — required from random init, where the zero-init
     out_conv blocks adapter-only gradients) on the fixed object set.
     Pass (train_step, state) to reuse caller-built sharded machinery.
     optimizer="adafactor" fits the full-UNet mini-256 step in 16 GB HBM
-    (AdamW's fp32 slots alone are ~7.8 GB there)."""
+    (AdamW's fp32 slots alone are ~7.8 GB there). cosine_decay anneals the
+    lr to lr/20 over `steps` — constant-lr adafactor at overfit rates goes
+    unstable late (mini-256 drive: loss 0.11 at step 800 -> 1.01 at 1400)."""
+    import optax as _optax
+
     from mobi_tpu.training import create_train_state, make_train_step
 
     prev = os.environ.get("MOBI_TRAIN_UNET_FULL")
@@ -262,9 +267,14 @@ def overfit_diffusion(
     try:
         if state is None:
             jax.clear_caches()  # drop prior phases' executables first
+            schedule = (
+                _optax.warmup_cosine_decay_schedule(
+                    0.0, lr, min(200, steps // 4), steps, lr / 20.0
+                ) if cosine_decay else None
+            )
             state, tx = create_train_state(
                 model, jax.random.PRNGKey(seed), base_lr=lr, params=params,
-                optimizer=optimizer,
+                optimizer=optimizer, schedule=schedule,
             )
             # donated, like the production trainer (train.py:284-292):
             # un-aliased params+opt in/out trees OOM a 16 GB chip
@@ -274,17 +284,25 @@ def overfit_diffusion(
         key = jax.random.PRNGKey(seed + 1)
         dev_batch = jax.tree.map(jnp.asarray, batch)
         loss = float("nan")
+        window: list = []  # device scalars; fetched only at log points
         for i in range(steps):
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, dev_batch, sub)
+            window.append(metrics["loss"])
             if (i + 1) % 25 == 0:
                 jax.block_until_ready(metrics["loss"])
             if log_every and (i + 1) % log_every == 0:
+                # the per-step loss swings with the sampled timestep; the
+                # window mean is the signal (instability shows as a rising
+                # mean, not one high draw)
+                mean = float(np.mean([float(x) for x in window]))
                 print(
                     f"  [diffusion] step {i + 1}: loss "
-                    f"{float(metrics['loss']):.4f}",
+                    f"{float(metrics['loss']):.4f} "
+                    f"(mean{len(window)} {mean:.4f})",
                     flush=True,
                 )
+                window = []
         loss = float(metrics["loss"])
     finally:
         if prev is None:

@@ -215,15 +215,18 @@ def create_train_state(
     params: Optional[Params] = None,
     scheduler_config: Optional[dict] = None,
     optimizer: str = "adamw",
+    schedule: Optional[optax.Schedule] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Build (TrainState, optimizer). Pass `params` to start from existing
-    (e.g. torch-imported pretrained) weights instead of a fresh init."""
+    (e.g. torch-imported pretrained) weights instead of a fresh init.
+    `schedule` (a raw optax schedule) overrides `scheduler_config`."""
     if params is None:
         params = model.init_params(rng)
     tx = make_optimizer(
         model, params, base_lr, accumulate_steps=accumulate_steps,
-        schedule=(schedule_from_config(base_lr, scheduler_config)
-                  if scheduler_config else None),
+        schedule=schedule if schedule is not None else (
+            schedule_from_config(base_lr, scheduler_config)
+            if scheduler_config else None),
         optimizer=optimizer,
     )
     opt_state = tx.init(params)

@@ -52,7 +52,7 @@ def main(argv=None):
     p.add_argument("--vae-minibatch", type=int, default=2,
                    help="frames per VAE train step (full-frame backward at "
                         "256 OOMs a 16 GB chip)")
-    p.add_argument("--diff-steps", type=int, default=1500)
+    p.add_argument("--diff-steps", type=int, default=4000)
     p.add_argument("--diff-lr", type=float, default=1e-3,
                    help="adafactor wants ~3-4x the AdamW lr (tiny-config "
                         "A/B: adafactor@1e-3 descends faster than "
@@ -168,7 +168,7 @@ def main(argv=None):
     t0 = time.time()
     params, diff_final = overfit_diffusion(
         model, params, batch, steps=opt.diff_steps, lr=opt.diff_lr,
-        log_every=200, optimizer=opt.optimizer,
+        log_every=200, optimizer=opt.optimizer, cosine_decay=True,
     )
     print(f"diffusion overfit: {diff_final} ({time.time() - t0:.0f}s); "
           f"live device GB {live_hbm_gb():.2f}", flush=True)
