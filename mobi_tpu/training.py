@@ -184,9 +184,14 @@ def make_optimizer(
             weight_decay=weight_decay,
         )
     elif optimizer == "adafactor":
+        # NO weight_decay_rate here: optax adafactor applies it as a raw
+        # per-step multiplicative shrink, NOT lr-scaled like AdamW's
+        # decoupled decay — 1e-2/step zeroes the net in a few thousand
+        # steps (mini-256 drive: loss marched back to exactly 1.0 = the
+        # zero-output point as the lr cosine-decayed below the shrink).
         tx = optax.adafactor(
             learning_rate=lr, multiply_by_parameter_scale=False,
-            clipping_threshold=1.0, weight_decay_rate=weight_decay,
+            clipping_threshold=1.0,
         )
     else:
         raise ValueError(f"unknown optimizer {optimizer!r}")
