@@ -249,6 +249,7 @@ def overfit_diffusion(
     state=None,
     optimizer: str = "adamw",
     cosine_decay: bool = False,
+    randomize_zero_init: bool = False,
 ) -> Tuple[Params, Dict[str, float]]:
     """Overfit the FULL UNet (MOBI_TRAIN_UNET_FULL, beyond the reference's
     adapter-only rule — required from random init, where the zero-init
@@ -261,6 +262,27 @@ def overfit_diffusion(
     import optax as _optax
 
     from mobi_tpu.training import create_train_state, make_train_step
+
+    if randomize_zero_init:
+        # Same knob as train.py's MOBI_RANDOMIZE_ZERO_INIT (train.py:230-251):
+        # the reference zero-initializes EVERY ResBlock/transformer output
+        # conv plus the final out_conv (zero_module, openaimodel.py:833-837),
+        # so a from-scratch full-UNet sits on a deep saddle — eps_hat == 0
+        # exactly, and escape via the out_conv-first cascade is chaotic at
+        # scale (mini-256: 3 seeded runs escaped at step 600 / 1800 / never).
+        # The reference never faces this: it always finetunes from PbE
+        # weights where these convs are non-zero. Perturbing the all-zero
+        # leaves reproduces that starting condition.
+        zrng = np.random.default_rng(seed)
+
+        def _bump(x):
+            if getattr(x, "ndim", 0) >= 2 and not np.any(np.asarray(x)):
+                return jnp.asarray(
+                    zrng.normal(0, 0.02, x.shape).astype(np.float32)
+                ).astype(x.dtype)
+            return x
+
+        params = jax.tree_util.tree_map(_bump, params)
 
     prev = os.environ.get("MOBI_TRAIN_UNET_FULL")
     os.environ["MOBI_TRAIN_UNET_FULL"] = "1"

@@ -169,6 +169,7 @@ def main(argv=None):
     params, diff_final = overfit_diffusion(
         model, params, batch, steps=opt.diff_steps, lr=opt.diff_lr,
         log_every=200, optimizer=opt.optimizer, cosine_decay=True,
+        randomize_zero_init=True,
     )
     print(f"diffusion overfit: {diff_final} ({time.time() - t0:.0f}s); "
           f"live device GB {live_hbm_gb():.2f}", flush=True)
