@@ -250,6 +250,7 @@ def overfit_diffusion(
     optimizer: str = "adamw",
     cosine_decay: bool = False,
     randomize_zero_init: bool = False,
+    adam_mu_dtype=None,
 ) -> Tuple[Params, Dict[str, float]]:
     """Overfit the FULL UNet (MOBI_TRAIN_UNET_FULL, beyond the reference's
     adapter-only rule — required from random init, where the zero-init
@@ -275,14 +276,23 @@ def overfit_diffusion(
         # leaves reproduces that starting condition.
         zrng = np.random.default_rng(seed)
 
-        def _bump(x):
-            if getattr(x, "ndim", 0) >= 2 and not np.any(np.asarray(x)):
+        # zero-check ON DEVICE (one jitted program, scalar flags): a host
+        # `np.any(np.asarray(x))` per leaf pulls the whole ~6 GB tree
+        # through the tunnel (~15 min, measured); this fetches bools
+        is_zero = jax.device_get(jax.jit(
+            lambda t: jax.tree_util.tree_map(
+                lambda x: jnp.all(x == 0) if getattr(x, "ndim", 0) >= 2
+                else jnp.asarray(False), t)
+        )(params))
+
+        def _bump(x, z):
+            if bool(z):
                 return jnp.asarray(
                     zrng.normal(0, 0.02, x.shape).astype(np.float32)
                 ).astype(x.dtype)
             return x
 
-        params = jax.tree_util.tree_map(_bump, params)
+        params = jax.tree_util.tree_map(_bump, params, is_zero)
 
     prev = os.environ.get("MOBI_TRAIN_UNET_FULL")
     os.environ["MOBI_TRAIN_UNET_FULL"] = "1"
@@ -297,6 +307,7 @@ def overfit_diffusion(
             state, tx = create_train_state(
                 model, jax.random.PRNGKey(seed), base_lr=lr, params=params,
                 optimizer=optimizer, schedule=schedule,
+                adam_mu_dtype=adam_mu_dtype,
             )
             # donated, like the production trainer (train.py:284-292):
             # un-aliased params+opt in/out trees OOM a 16 GB chip

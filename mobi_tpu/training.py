@@ -160,6 +160,7 @@ def make_optimizer(
     accumulate_steps: int = 1,
     schedule: Optional[optax.Schedule] = None,
     optimizer: str = "adamw",
+    adam_mu_dtype=None,
 ) -> optax.GradientTransformation:
     """Optimizer restricted to the trainable (adapter) partition.
 
@@ -170,10 +171,17 @@ def make_optimizer(
 
     optimizer: "adamw" (reference parity, main.py's AdamW; 2 fp32 slots per
     trainable param) or "adafactor" (factored second moment, ~sqrt the slot
-    memory — the standard TPU lever when the Adam slots do not fit HBM:
-    full-UNet training of the mini-256 config needs 13.69 GB of
-    params+slots with AdamW vs ~6 GB factored, PROFILE.md 'Overfit
-    learning oracle').
+    memory — full-UNet training of the mini-256 config needs 13.69 GB of
+    params+slots with AdamW vs ~6 GB factored; but see PROFILE.md 'Overfit
+    learning oracle': adafactor failed to leave the zero-output basin at
+    that scale where AdamW descends, so the HBM lever of choice is
+    adam_mu_dtype).
+
+    adam_mu_dtype (adamw only): dtype for the first-moment slot, e.g.
+    jnp.bfloat16 — halves mu's HBM (optax native low-precision slot;
+    update math still runs fp32). The mini-256 full-UNet step: 13.69 GB
+    args with fp32 slots (OOM on a 15.75 GB chip) vs ~11.75 GB with bf16
+    mu (fits).
     """
     mask = model.trainable_mask(params)
     not_mask = jax.tree_util.tree_map(lambda m: not m, mask)
@@ -181,7 +189,7 @@ def make_optimizer(
     if optimizer == "adamw":
         tx = optax.adamw(
             learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8,
-            weight_decay=weight_decay,
+            weight_decay=weight_decay, mu_dtype=adam_mu_dtype,
         )
     elif optimizer == "adafactor":
         # NO weight_decay_rate here: optax adafactor applies it as a raw
@@ -221,6 +229,7 @@ def create_train_state(
     scheduler_config: Optional[dict] = None,
     optimizer: str = "adamw",
     schedule: Optional[optax.Schedule] = None,
+    adam_mu_dtype=None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
     """Build (TrainState, optimizer). Pass `params` to start from existing
     (e.g. torch-imported pretrained) weights instead of a fresh init.
@@ -233,6 +242,7 @@ def create_train_state(
             schedule_from_config(base_lr, scheduler_config)
             if scheduler_config else None),
         optimizer=optimizer,
+        adam_mu_dtype=adam_mu_dtype,
     )
     opt_state = tx.init(params)
     ema = ema_init(params["unet"]) if use_ema else None

@@ -53,16 +53,16 @@ def main(argv=None):
                    help="frames per VAE train step (full-frame backward at "
                         "256 OOMs a 16 GB chip)")
     p.add_argument("--diff-steps", type=int, default=4000)
-    p.add_argument("--diff-lr", type=float, default=1e-3,
-                   help="adafactor wants ~3-4x the AdamW lr (tiny-config "
-                        "A/B: adafactor@1e-3 descends faster than "
-                        "adamw@3e-4; adafactor@3e-4 barely moves)")
-    p.add_argument("--optimizer", default="adafactor",
+    p.add_argument("--diff-lr", type=float, default=3e-4,
+                   help="the CPU-calibrated AdamW overfit lr "
+                        "(tests/test_overfit_oracle.py)")
+    p.add_argument("--optimizer", default="adamw",
                    choices=["adamw", "adafactor"],
-                   help="adafactor (default): AdamW's fp32 slots for the "
-                        "full UNet are ~7.8 GB — params+slots+program do "
-                        "not fit 15.75 GB HBM at mini-256 (measured "
-                        "16.33 GB); the factored second moment does")
+                   help="adamw (default) runs with a bf16 first-moment "
+                        "slot so full-UNet mini-256 fits 15.75 GB HBM "
+                        "(fp32 slots: 16.33 GB, OOM). adafactor fits too "
+                        "but failed to leave the zero-output basin at "
+                        "this scale (3 seeded runs, PROFILE.md)")
     p.add_argument("--sample-steps", type=int, default=20)
     p.add_argument("--outdir", default="logs/overfit_oracle")
     p.add_argument("--camera-gate-db", type=float, default=2.0,
@@ -75,6 +75,7 @@ def main(argv=None):
     opt = p.parse_args(argv)
 
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from mobi_tpu.models.diffusion import MobiDiffusion
@@ -170,6 +171,7 @@ def main(argv=None):
         model, params, batch, steps=opt.diff_steps, lr=opt.diff_lr,
         log_every=200, optimizer=opt.optimizer, cosine_decay=True,
         randomize_zero_init=True,
+        adam_mu_dtype=jnp.bfloat16 if opt.optimizer == "adamw" else None,
     )
     print(f"diffusion overfit: {diff_final} ({time.time() - t0:.0f}s); "
           f"live device GB {live_hbm_gb():.2f}", flush=True)
