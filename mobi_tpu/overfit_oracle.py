@@ -181,7 +181,13 @@ def overfit_vaes(
     for name, vae, x_np in jobs:
         n = x_np.shape[0]
         mb = min(minibatch, n) if minibatch else n
-        tx = optax.adam(lr)
+        # cosine tail: constant-lr minibatch training plateaus noisily
+        # (mini-256 camera trace 0.15 -> 0.18 -> 0.098 over 400 steps);
+        # the VAE round-trip is the PSNR ceiling of the whole oracle, so
+        # converging it matters 1:1 for the gate margin
+        tx = optax.adam(
+            optax.cosine_decay_schedule(lr, max(steps, 1), alpha=0.05)
+        )
 
         def loss_fn(vp, x, rng):
             post = vae.apply({"params": vp}, x, method=vae.encode)
@@ -343,6 +349,32 @@ def overfit_diffusion(
         else:
             os.environ["MOBI_TRAIN_UNET_FULL"] = prev
     return state.params, {"final_loss": loss}
+
+
+def vae_ceiling(model, params: Params, batch: Dict[str, Any]) -> Dict[str, float]:
+    """Masked-region PSNR of the pure VAE round-trip (deterministic mode
+    encode -> decode) — the hard ceiling on what ANY latent-space sampler
+    can score against pixel GT. Reporting it next to the gate turns
+    'camera 11.73 dB' into its real meaning: the mini-256 drive sampled
+    within 0.06 dB of its 11.79 dB ceiling — the diffusion model had
+    learned the latents essentially perfectly and the VAE was the limit."""
+
+    def rt(vae, vp, x):
+        post = vae.apply({"params": vp}, x, method=vae.encode)
+        return vae.apply({"params": vp}, post.mode(), method=vae.decode)
+
+    gt_c = np.asarray(batch["image"]["GT"])
+    gt_l = np.asarray(batch["lidar"]["range_data"])
+    rec_c = np.asarray(jax.jit(rt, static_argnums=0)(
+        model.vae_camera, params["vae_camera"], jnp.asarray(gt_c)))
+    rec_l = np.asarray(jax.jit(rt, static_argnums=0)(
+        model.vae_lidar, params["vae_lidar"], jnp.asarray(gt_l)))
+    return {
+        "camera_ceiling_psnr": masked_psnr(
+            rec_c, gt_c, 1.0 - np.asarray(batch["image"]["inpaint_mask"])),
+        "lidar_ceiling_psnr": masked_psnr(
+            rec_l, gt_l, 1.0 - np.asarray(batch["lidar"]["range_mask"])),
+    }
 
 
 # ---------------------------------------------------------------- the gate

@@ -48,10 +48,14 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default="configs/mobi_nusc-mini_256.yaml")
     p.add_argument("--objects", type=int, default=4)
-    p.add_argument("--vae-steps", type=int, default=400)
-    p.add_argument("--vae-minibatch", type=int, default=2,
+    p.add_argument("--vae-steps", type=int, default=1200,
+                   help="the camera-VAE round-trip is the oracle's PSNR "
+                        "ceiling (400 steps left it at 11.79 dB masked — "
+                        "the sampler hit 11.73); converge it")
+    p.add_argument("--vae-minibatch", type=int, default=4,
                    help="frames per VAE train step (full-frame backward at "
-                        "256 OOMs a 16 GB chip)")
+                        "256 OOMs a 16 GB chip; 4 fits with remat + "
+                        "donation)")
     p.add_argument("--diff-steps", type=int, default=4000)
     p.add_argument("--diff-lr", type=float, default=3e-4,
                    help="the CPU-calibrated AdamW overfit lr "
@@ -85,6 +89,7 @@ def main(argv=None):
         overfit_diffusion,
         overfit_vaes,
         sample_and_score,
+        vae_ceiling,
     )
     from mobi_tpu.utils.cache import enable_compilation_cache
     from mobi_tpu.utils.config import load_config, mobi_config_from_yaml
@@ -166,6 +171,10 @@ def main(argv=None):
             )
         print(f"phase checkpoint written: {phase_ckpt}", flush=True)
 
+    ceiling = vae_ceiling(model, params, batch)
+    print(f"VAE round-trip ceiling (masked PSNR): "
+          f"{ {k: round(v, 2) for k, v in ceiling.items()} }", flush=True)
+
     t0 = time.time()
     params, diff_final = overfit_diffusion(
         model, params, batch, steps=opt.diff_steps, lr=opt.diff_lr,
@@ -214,9 +223,18 @@ def main(argv=None):
         "vae_steps": opt.vae_steps,
         "diff_steps": opt.diff_steps,
         "vae_final_l1": vae_final,
+        "vae_ceiling_masked_psnr": ceiling,
         "diffusion_final_loss": diff_final["final_loss"],
         "untrained": untrained,
         "trained": trained,
+        "gate_headroom_db": {
+            "camera_vs_ceiling": round(
+                ceiling["camera_ceiling_psnr"] - trained["camera_psnr"], 2
+            ),
+            "lidar_vs_ceiling": round(
+                ceiling["lidar_ceiling_psnr"] - trained["lidar_psnr"], 2
+            ),
+        },
         "gate": {
             "camera_margin_db": round(
                 trained["camera_psnr"] - trained["camera_psnr_baseline"], 2
