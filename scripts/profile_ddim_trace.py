@@ -29,37 +29,72 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def parse_xplane(trace_dir: str, top: int):
-    """xplane.pb -> list of (op name, self time us, fraction) via the
-    tensorboard profile plugin's converter; returns (device_rows,
-    total_device_us, planes_seen)."""
+    """Parse the capture's Chrome-trace JSON (…trace.json.gz — written next
+    to the .xplane.pb; this environment's tensorboard_plugin_profile build
+    ships no xplane_pb2) into per-op SELF time on the device 'XLA Ops'
+    line. 'X' events on one tid nest (fusions contain sub-ops), so raw
+    duration sums double-count — self time is computed with an interval
+    stack per tid. Returns (ranked rows, total_device_us, planes_seen)."""
+    import gzip
+    import json as _json
+
     paths = sorted(glob.glob(
-        os.path.join(trace_dir, "plugins/profile/*/*.xplane.pb")
+        os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")
     ))
     if not paths:
         return None, 0.0, []
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    with gzip.open(paths[-1]) as f:
+        events = _json.load(f)["traceEvents"]
 
-    xspace = xplane_pb2.XSpace()
-    with open(paths[-1], "rb") as f:
-        xspace.ParseFromString(f.read())
-    planes = [p.name for p in xspace.planes]
+    planes, device_pids, tid_names = {}, set(), {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            name = e["args"]["name"]
+            planes[e["pid"]] = name
+            if "TPU" in name or "device" in name.lower():
+                device_pids.add(e["pid"])
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e["tid"])] = e["args"]["name"]
 
-    # Aggregate self-time per event name on every device plane (TPU planes
-    # are named like '/device:TPU:0'; a host-only capture has none).
-    rows = {}
-    total = 0.0
-    for plane in xspace.planes:
-        if "TPU" not in plane.name and "device:" not in plane.name.lower():
-            continue
-        ev_names = {i: m.name for i, m in plane.event_metadata.items()}
-        for line in plane.lines:
-            for ev in line.events:
-                name = ev_names.get(ev.metadata_id, str(ev.metadata_id))
-                dur = ev.duration_ps / 1e6  # ps -> us
-                rows[name] = rows.get(name, 0.0) + dur
-                total += dur
+    # group complete events per (pid, tid); compute self time via nesting.
+    # Keep only op lines ('XLA Ops') — the 'XLA Modules' line spans whole
+    # executables and would double-count every op under it.
+    by_line = {}
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in device_pids:
+            lname = tid_names.get((e["pid"], e.get("tid")), "")
+            if "Module" in lname:
+                continue
+            by_line.setdefault((e["pid"], e.get("tid")), []).append(e)
+
+    rows, total = {}, 0.0
+    for line_events in by_line.values():
+        line_events.sort(key=lambda e: (e["ts"], -e.get("dur", 0)))
+        stack = []  # (end_ts, child_time_accum index into frames)
+        frames = []
+        for e in line_events:
+            ts, dur = e["ts"], e.get("dur", 0)
+            while stack and ts >= stack[-1][0]:
+                end, idx = stack.pop()
+                name, d, child = frames[idx]
+                self_us = max(d - child, 0.0)
+                rows[name] = rows.get(name, 0.0) + self_us
+                total += self_us
+                if stack:
+                    frames[stack[-1][1]][2] += d
+            frames.append([e.get("name", "?"), float(dur), 0.0])
+            stack.append((ts + dur, len(frames) - 1))
+        while stack:
+            end, idx = stack.pop()
+            name, d, child = frames[idx]
+            self_us = max(d - child, 0.0)
+            rows[name] = rows.get(name, 0.0) + self_us
+            total += self_us
+            if stack:
+                frames[stack[-1][1]][2] += d
+
     ranked = sorted(rows.items(), key=lambda kv: -kv[1])[:top]
-    return ranked, total, planes
+    return ranked, total, list(planes.values())
 
 
 def main(argv=None):
@@ -67,7 +102,13 @@ def main(argv=None):
     p.add_argument("--outdir", default="logs/ddim_trace")
     p.add_argument("--top", type=int, default=25)
     p.add_argument("--segments-to-trace", type=int, default=3)
+    p.add_argument("--parse-only", action="store_true",
+                   help="re-parse an existing capture in --outdir")
     opt = p.parse_args(argv)
+
+    if opt.parse_only:
+        _report(opt)
+        return
 
     import jax
 
@@ -119,13 +160,18 @@ def main(argv=None):
                 params, x, carry2, rest, cond, uncond, sl
             )
         jax.block_until_ready(x)
-    log("trace captured; parsing xplane")
+    log("trace captured; parsing")
+    _report(opt)
 
+
+def _report(opt):
     ranked, total_us, planes = parse_xplane(opt.outdir, opt.top)
-    report = {"planes": planes, "batch_pairs": bench.BATCH_PAIRS,
+    report = {"planes": planes,
+              "batch_pairs": int(os.environ.get(
+                  "MOBI_BENCH_BATCH_PAIRS", "20")),
               "segments_traced": opt.segments_to_trace}
     if ranked is None:
-        report["device_trace"] = "NO XPLANE CAPTURED"
+        report["device_trace"] = "NO TRACE CAPTURED"
     elif total_us == 0.0:
         report["device_trace"] = (
             "host-only capture: no device plane events (the tunneled "
@@ -142,7 +188,7 @@ def main(argv=None):
     with open(out_path, "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps({k: v for k, v in report.items() if k != "top_ops"}))
-    for row in report.get("top_ops", [])[:15]:
+    for row in report.get("top_ops", [])[:25]:
         print(f"{row['pct']:6.2f}%  {row['self_ms']:10.3f} ms  {row['op']}")
 
 
