@@ -370,6 +370,49 @@ class SegmentedInpaint:
             x, carry2 = seg(params, x, carry2, rest, cond, uncond, sl)
         return dec(params, x, zf)
 
+    def timed_call(self, params, batch, rng):
+        """__call__ with a host-synced wall clock per device program.
+
+        Returns (out, walls) where walls is a list of (name, seconds) for
+        prep / each sampling segment / decode. Each program is followed by a
+        4-byte scalar fetch of one output leaf — on the tunneled runtime
+        `block_until_ready` can resolve before execution finishes (async
+        dispatch), but a host read of the result cannot — so each wall is
+        ~(device time + one fetch round-trip). Serializes the dispatches, so
+        use for diagnosis (bench.py's device-time cross-check), never for
+        the throughput measurement itself. The tiny reshape/fetch programs
+        compile on first use; run once discarded to warm them before timing.
+        """
+        import time
+
+        import jax.numpy as jnp
+
+        def sync(tree):
+            leaf = next(
+                x for x in jax.tree.leaves(tree) if hasattr(x, "reshape")
+            )
+            _ = float(jnp.reshape(leaf, (-1,))[0])
+
+        walls = []
+        prep = self._prep_c or self._prep
+        dec = self._dec_c or self._dec
+        t = time.perf_counter()
+        x, carry2, rest, cond, uncond, zf = prep(params, batch, rng)
+        sync(x)
+        walls.append(("prep", time.perf_counter() - t))
+        for i, sl in enumerate(self._place_slices()):
+            n = int(sl[0].shape[0])
+            seg = self._seg_c.get(n) or self._seg
+            t = time.perf_counter()
+            x, carry2 = seg(params, x, carry2, rest, cond, uncond, sl)
+            sync(x)
+            walls.append((f"seg{i}[{n}]", time.perf_counter() - t))
+        t = time.perf_counter()
+        out = dec(params, x, zf)
+        sync(out)
+        walls.append(("decode", time.perf_counter() - t))
+        return out, walls
+
     def preflight(self, params, batch, rng, label="inpaint") -> bool:
         """AOT-compile prep/segment(s)/decode and HBM-check each program's
         plan (utils/hbm.py). Returns True when the checks ran. Subsequent
