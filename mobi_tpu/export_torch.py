@@ -381,7 +381,11 @@ def schedule_buffers(schedule) -> StateDict:
         "log_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
         "sqrt_recipm1_alphas_cumprod", "posterior_variance",
         "posterior_log_variance_clipped", "posterior_mean_coef1",
-        "posterior_mean_coef2", "lvlb_weights",
+        "posterior_mean_coef2",
+        # NOT lvlb_weights: the reference registers it persistent=False
+        # (ddpm.py:178), so it never appears in a reference state dict and
+        # the consumer's load_state_dict reports it as an unexpected key
+        # (caught by test_export_ckpt_loads_into_reference_consumer).
     )
     return {n: np.asarray(getattr(schedule, n), np.float32) for n in names}
 

@@ -227,7 +227,9 @@ def test_schedule_buffers_match_reference_names_and_values():
         "log_one_minus_alphas_cumprod", "sqrt_recip_alphas_cumprod",
         "sqrt_recipm1_alphas_cumprod", "posterior_variance",
         "posterior_log_variance_clipped", "posterior_mean_coef1",
-        "posterior_mean_coef2", "lvlb_weights",
+        "posterior_mean_coef2",
+        # lvlb_weights deliberately absent: persistent=False in the
+        # reference (ddpm.py:178), never part of a reference state dict
     }
     np.testing.assert_allclose(
         bufs["sqrt_alphas_cumprod"], np.sqrt(bufs["alphas_cumprod"]),
@@ -286,7 +288,7 @@ def test_export_checkpoint_cli_roundtrip(tmp_path):
     ckpt = torch.load(str(out_path), map_location="cpu")
     got = to_numpy_state_dict(ckpt["state_dict"])
     sched_names = set(got) - set(sd)
-    assert "betas" in sched_names and "lvlb_weights" in sched_names
+    assert "betas" in sched_names and "lvlb_weights" not in sched_names
     # the cond-stage CLIP layers beyond the tiny fabricator's 2 don't
     # exist in the source; everything present must round-trip exactly
     for k in sd:

@@ -460,3 +460,82 @@ def test_ddim_5step_sample_parity(models):
     )
     err = max_err(ours, samples.numpy().transpose(0, 2, 3, 1))
     assert err < 5e-4, f"5-step DDIM sample max-err {err}"
+
+
+def test_export_ckpt_loads_into_reference_consumer(models, tmp_path):
+    """Close the export-interop loop against the REAL consumer: export a
+    (perturbed, so nothing can pass by accident) mobi_tpu parameter tree
+    with save_reference_checkpoint, load the .ckpt file into a FRESH
+    in-process reference LatentDiffusion exactly the way the reference
+    does (`load_state_dict(ckpt["state_dict"], strict=False)`,
+    /root/reference/main.py:524-533, ddpm.py:196-212), then require the
+    reference's 5-step DDIM from the loaded weights to match our sampler
+    from the same params. Key-level round-trip tests
+    (tests/test_export_torch.py) can't show the consumer accepts the file;
+    this is the end-to-end proof of the interop claim."""
+    _, model, params = models
+
+    # distinct weights: a deterministic affine nudge of every float leaf —
+    # the exported function must differ from the fixture ld's own weights
+    def nudge(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x * 1.05 + 0.01
+        return x
+
+    params2 = jax.tree_util.tree_map(nudge, params)
+
+    from mobi_tpu.export_torch import (
+        export_mobi_checkpoint,
+        save_reference_checkpoint,
+    )
+
+    sd = export_mobi_checkpoint(
+        params2, channel_mult=(1, 2), num_res_blocks=1,
+        attention_resolutions=(2, 1), vae_resolution=32,
+        vae_ch_mult=(1, 1, 2), vae_num_res_blocks=1,
+        schedule=model.schedule,
+    )
+    path = str(tmp_path / "tpu_trained.ckpt")
+    save_reference_checkpoint(path, sd, global_step=5, epoch=1)
+
+    ld2 = _tiny_ld()  # fresh consumer; never mutate the shared fixture
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    missing, unexpected = ld2.load_state_dict(
+        ckpt["state_dict"], strict=False
+    )
+    assert not unexpected, f"reference rejected exported keys: {unexpected}"
+    # every parameter and schedule buffer of the consumer must be fed by
+    # the export (use_ema=False => no model_ema.* in either tree)
+    assert not missing, f"exported checkpoint left consumer keys unfed: {missing}"
+    ld2.eval()
+
+    _deterministic_encode(ld2)
+    from ldm.models.diffusion.ddim import DDIMSampler
+
+    batch_t, batch_j = _batch_pair(seed=31)
+    with torch.no_grad():
+        import copy
+
+        data_ref = ld2.get_input(copy.deepcopy(batch_t), "inpaint",
+                                 force_c_encode=True)
+        zr = data_ref["z"]
+        g = torch.Generator().manual_seed(41)
+        x_T = torch.randn(zr[:, :4].shape, generator=g)
+        from test_golden_reference import _cpu_sampler
+
+        sampler = _cpu_sampler(DDIMSampler, ld2)
+        samples, _ = sampler.sample(
+            S=5, batch_size=zr.shape[0], shape=(4, 8, 8),
+            conditioning=data_ref["cond"], x_T=x_T, eta=0.0, verbose=False,
+            unconditional_guidance_scale=1.0, rest=zr[:, 4:],
+        )
+
+    data = model.get_input(params2, batch_j, jax.random.PRNGKey(0),
+                           encode_cond=True, deterministic=True)
+    ours = model.sample(
+        params2, data, jax.random.PRNGKey(0), num_steps=5,
+        guidance_scale=1.0, sampler="ddim",
+        x_T=jnp.asarray(x_T.numpy().transpose(0, 2, 3, 1)),
+    )
+    err = max_err(ours, samples.numpy().transpose(0, 2, 3, 1))
+    assert err < 5e-4, f"consumer-loaded 5-step DDIM max-err {err}"
