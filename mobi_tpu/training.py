@@ -192,6 +192,21 @@ def make_optimizer(
             weight_decay=weight_decay, mu_dtype=adam_mu_dtype,
         )
     elif optimizer == "adafactor":
+        # Documented-broken for this architecture: on the full-UNet mini-256
+        # overfit, adafactor never left the zero-init output basin across 3
+        # seeded runs where AdamW descends (PROFILE.md optimizer ledger).
+        # It stays available as an HBM lever for other partitions, but
+        # selecting it must be loud, not a silent footgun.
+        import warnings
+
+        warnings.warn(
+            "optimizer='adafactor' failed to train the full-UNet "
+            "architecture in every recorded run (PROFILE.md optimizer "
+            "ledger: stuck at the zero-output basin). Prefer "
+            "optimizer='adamw' with adam_mu_dtype=bfloat16 for HBM "
+            "savings; proceed with adafactor only deliberately.",
+            stacklevel=2,
+        )
         # NO weight_decay_rate here: optax adafactor applies it as a raw
         # per-step multiplicative shrink, NOT lr-scaled like AdamW's
         # decoupled decay — 1e-2/step zeroes the net in a few thousand

@@ -167,10 +167,14 @@ def test_adafactor_option_trains_adapters_only(tiny_setup):
     AdamW's two fp32 slots) must keep the same freeze semantics — frozen
     leaves bit-identical, trainables moving, loss finite."""
     model, state, _ = tiny_setup
-    af_state, af_tx = create_train_state(
-        model, jax.random.PRNGKey(0), base_lr=1e-3, params=state.params,
-        optimizer="adafactor",
-    )
+    # selecting adafactor must be LOUD: the PROFILE optimizer ledger records
+    # it never leaving the zero-output basin on the full-UNet architecture,
+    # so create_train_state warns on selection (config footgun guard)
+    with pytest.warns(UserWarning, match="adafactor"):
+        af_state, af_tx = create_train_state(
+            model, jax.random.PRNGKey(0), base_lr=1e-3, params=state.params,
+            optimizer="adafactor",
+        )
     step_fn = jax.jit(make_train_step(model, af_tx))
     new_state, metrics = step_fn(af_state, make_batch(b=2), jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
