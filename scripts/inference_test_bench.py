@@ -316,7 +316,18 @@ def main(argv=None):
             from mobi_tpu.parallel.mesh import shard_batch
 
             batch_dev = shard_batch(mesh, batch_dev)
-        out = run_batch(params, batch_dev, key)
+        if (bi == 0 and opt.sample_segments > 1
+                and os.environ.get("MOBI_ITB_TIMED_SEGMENTS", "0") == "1"
+                and hasattr(run_batch, "timed_call")):
+            # per-program walls for the PROFILE record: one warm pass to
+            # compile the tiny sync-fetch programs, then one timed pass
+            # (serialized; later batches go back to async dispatch)
+            run_batch.timed_call(params, batch_dev, key)
+            out, walls = run_batch.timed_call(params, batch_dev, key)
+            print("segment walls (s): "
+                  + ", ".join(f"{n}={w:.2f}" for n, w in walls))
+        else:
+            out = run_batch(params, batch_dev, key)
         if pool is None:
             finish_batch(bi, batch, out)
         else:
