@@ -503,11 +503,21 @@ class MobiDiffusion:
         loss_simple = err.mean(axis=(1, 2, 3))
         loss = loss_simple.mean()
         loss_vlb = (self.schedule.lvlb_weights[t] * loss_simple).mean()
-        return loss, {
+        metrics = {
             "loss": loss,
             "loss_simple": loss_simple.mean(),
             "loss_vlb": loss_vlb,
         }
+        if self.config.multimodal:
+            # per-modality split of the joint eps-MSE: the interleaved batch
+            # is [cam0, lid0, cam1, lid1, ...] (interleave_modalities), so
+            # even rows are camera, odd rows lidar. Diagnostic only (the
+            # trained loss stays the joint mean, matching the reference's
+            # single mean over the interleaved batch, ddpm.py:1198-1215) —
+            # exposes which modality an asymmetric plateau lives in.
+            metrics["loss_camera"] = loss_simple[0::2].mean()
+            metrics["loss_lidar"] = loss_simple[1::2].mean()
+        return loss, metrics
 
     def training_loss(
         self, params: Params, batch: Dict[str, Any], rng: jax.Array

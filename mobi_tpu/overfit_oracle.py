@@ -270,6 +270,19 @@ def overfit_diffusion(
 
     from mobi_tpu.training import create_train_state, make_train_step
 
+    if state is not None and (
+        optimizer != "adamw" or cosine_decay or randomize_zero_init
+        or adam_mu_dtype is not None
+    ):
+        # the caller-built (train_step, state) already baked in its own
+        # optimizer; silently ignoring these would train something other
+        # than what the call site reads
+        raise ValueError(
+            "optimizer/cosine_decay/randomize_zero_init/adam_mu_dtype "
+            "require overfit_diffusion to build the train state itself — "
+            "do not combine them with a caller-provided `state`"
+        )
+
     if randomize_zero_init:
         # Same knob as train.py's MOBI_RANDOMIZE_ZERO_INIT (train.py:230-251):
         # the reference zero-initializes EVERY ResBlock/transformer output
@@ -279,7 +292,10 @@ def overfit_diffusion(
         # scale (mini-256: 3 seeded runs escaped at step 600 / 1800 / never).
         # The reference never faces this: it always finetunes from PbE
         # weights where these convs are non-zero. Perturbing the all-zero
-        # leaves reproduces that starting condition.
+        # leaves reproduces that starting condition. Scope: ONLY the UNet
+        # partition (the zero_module convs all live there) — frozen
+        # VAE/CLIP/cond partitions must never be mutated even if some leaf
+        # of theirs were legitimately zero.
         zrng = np.random.default_rng(seed)
 
         # zero-check ON DEVICE (one jitted program, scalar flags): a host
@@ -289,7 +305,7 @@ def overfit_diffusion(
             lambda t: jax.tree_util.tree_map(
                 lambda x: jnp.all(x == 0) if getattr(x, "ndim", 0) >= 2
                 else jnp.asarray(False), t)
-        )(params))
+        )(params["unet"]))
 
         def _bump(x, z):
             if bool(z):
@@ -298,7 +314,10 @@ def overfit_diffusion(
                 ).astype(x.dtype)
             return x
 
-        params = jax.tree_util.tree_map(_bump, params, is_zero)
+        params = dict(params)
+        params["unet"] = jax.tree_util.tree_map(
+            _bump, params["unet"], is_zero
+        )
 
     prev = os.environ.get("MOBI_TRAIN_UNET_FULL")
     os.environ["MOBI_TRAIN_UNET_FULL"] = "1"
@@ -323,22 +342,31 @@ def overfit_diffusion(
         key = jax.random.PRNGKey(seed + 1)
         dev_batch = jax.tree.map(jnp.asarray, batch)
         loss = float("nan")
-        window: list = []  # device scalars; fetched only at log points
+        window: list = []  # device scalar dicts; fetched only at log points
+        per_mod = model.config.multimodal
         for i in range(steps):
             key, sub = jax.random.split(key)
             state, metrics = train_step(state, dev_batch, sub)
-            window.append(metrics["loss"])
+            window.append(metrics)
             if (i + 1) % 25 == 0:
                 jax.block_until_ready(metrics["loss"])
             if log_every and (i + 1) % log_every == 0:
                 # the per-step loss swings with the sampled timestep; the
                 # window mean is the signal (instability shows as a rising
-                # mean, not one high draw)
-                mean = float(np.mean([float(x) for x in window]))
+                # mean, not one high draw). The camera/lidar split exposes
+                # which modality an asymmetric plateau lives in.
+                mean = float(np.mean([float(m["loss"]) for m in window]))
+                split = ""
+                if per_mod and "loss_camera" in window[-1]:
+                    c = float(np.mean(
+                        [float(m["loss_camera"]) for m in window]))
+                    l = float(np.mean(
+                        [float(m["loss_lidar"]) for m in window]))
+                    split = f" cam {c:.4f} lid {l:.4f}"
                 print(
                     f"  [diffusion] step {i + 1}: loss "
                     f"{float(metrics['loss']):.4f} "
-                    f"(mean{len(window)} {mean:.4f})",
+                    f"(mean{len(window)} {mean:.4f}{split})",
                     flush=True,
                 )
                 window = []
@@ -349,6 +377,82 @@ def overfit_diffusion(
         else:
             os.environ["MOBI_TRAIN_UNET_FULL"] = prev
     return state.params, {"final_loss": loss}
+
+
+def latent_stats(model, params: Params, batch: Dict[str, Any]) -> Dict[str, float]:
+    """Per-modality statistics of the SCALED GT latents the diffusion model
+    trains on (z = scale_factor * encode(GT).mode()).
+
+    Diagnostic for the lidar-vs-ceiling gap: the reference's scale_factor
+    0.18215 was calibrated so SD-VAE latents are ~unit-std
+    (ddpm.py scale_factor config); a freshly-overfit VAE has no such
+    guarantee, and a modality whose z0 std is far from 1 mismatches the
+    N(0,1) prior the sampler starts from."""
+
+    def enc(vae, vp, x, scale):
+        post = vae.apply({"params": vp}, x, method=vae.encode)
+        return scale * post.mode()
+
+    z_c = np.asarray(jax.jit(enc, static_argnums=0)(
+        model.vae_camera, params["vae_camera"],
+        jnp.asarray(batch["image"]["GT"]), model.config.scale_factor))
+    z_l = np.asarray(jax.jit(enc, static_argnums=0)(
+        model.vae_lidar, params["vae_lidar"],
+        jnp.asarray(batch["lidar"]["range_data"]),
+        model.config.lidar_scale_factor))
+    return {
+        "camera_z_std": float(z_c.std()),
+        "camera_z_mean": float(z_c.mean()),
+        "camera_z_absmax": float(np.abs(z_c).max()),
+        "lidar_z_std": float(z_l.std()),
+        "lidar_z_mean": float(z_l.mean()),
+        "lidar_z_absmax": float(np.abs(z_l).max()),
+    }
+
+
+def sample_latent_mse(
+    model,
+    params: Params,
+    batch: Dict[str, Any],
+    num_steps: int = 20,
+    seed: int = 7,
+    guidance_scale: float = 1.0,
+    sampler: str = "ddim",
+) -> Dict[str, float]:
+    """Latent-space error of the sampler per modality: MSE between the
+    sampled 4-ch latents and the mode-encoded GT latents, plus the same
+    normalized by the GT latent variance (a decoder-independent SNR).
+
+    Separates the two explanations for a pixel-PSNR gap: large normalized
+    lidar latent MSE => the DIFFUSION model is not matching the lidar
+    latents; small latent MSE but poor pixel PSNR => the lidar DECODER
+    amplifies small latent errors."""
+
+    def run(p, b, key):
+        data = model.get_input(p, b, key, encode_cond=True,
+                               deterministic=True)
+        lat = model.sample(
+            p, data, jax.random.fold_in(key, 1), num_steps=num_steps,
+            guidance_scale=guidance_scale, sampler=sampler,
+        )
+        return lat, data["z"][..., :4]
+
+    lat, z_gt = jax.jit(run)(
+        params, jax.tree.map(jnp.asarray, batch), jax.random.PRNGKey(seed)
+    )
+    lat, z_gt = np.asarray(lat, np.float64), np.asarray(z_gt, np.float64)
+    if model.config.multimodal:
+        mods = {"camera": (lat[0::2], z_gt[0::2]),
+                "lidar": (lat[1::2], z_gt[1::2])}
+    else:
+        name = "camera" if model.config.use_camera else "lidar"
+        mods = {name: (lat, z_gt)}
+    out: Dict[str, float] = {}
+    for name, (s, g) in mods.items():
+        mse = float(((s - g) ** 2).mean())
+        out[f"{name}_latent_mse"] = mse
+        out[f"{name}_latent_mse_rel"] = mse / max(float(g.var()), 1e-12)
+    return out
 
 
 def vae_ceiling(model, params: Params, batch: Dict[str, Any]) -> Dict[str, float]:
@@ -393,16 +497,26 @@ def sample_and_score(
     num_steps: int = 20,
     seed: int = 7,
     pipeline=None,
+    guidance_scale: float = 1.0,
+    sampler: str = "ddim",
+    sample_segments: int = 1,
 ) -> Dict[str, float]:
     """Sample inpaints for the object set and score masked-region
     reconstruction vs GT, next to the do-nothing baseline (the blanked
-    hole the model starts from)."""
+    hole the model starts from).
+
+    guidance_scale/sampler/sample_segments select the production protocol:
+    the reference samples every bench at CFG scale 5 with PLMS-50
+    (scripts/realism_test_bench.sh; plms.py:174-239) — scoring the oracle
+    there proves the uncond vectors trained under CFG dropout GUIDE rather
+    than garble, which loss descent alone cannot show."""
     from mobi_tpu.pipeline import make_inpaint_pipeline
 
     if pipeline is None:
         pipeline = make_inpaint_pipeline(
-            model, num_steps=num_steps, guidance_scale=1.0, sampler="ddim",
-            deterministic_encode=True,
+            model, num_steps=num_steps, guidance_scale=guidance_scale,
+            sampler=sampler, deterministic_encode=True,
+            sample_segments=sample_segments,
         )
     out = pipeline(params, batch, jax.random.PRNGKey(seed))
     out = {k: np.asarray(v) for k, v in out.items()}

@@ -68,6 +68,32 @@ def main(argv=None):
                         "but failed to leave the zero-output basin at "
                         "this scale (3 seeded runs, PROFILE.md)")
     p.add_argument("--sample-steps", type=int, default=20)
+    p.add_argument("--u-cond-percent", type=float, default=0.0,
+                   help="CFG dropout probability during the diffusion "
+                        "overfit (reference trains with 0.2, "
+                        "ddpm.py:1052-1056; 0 = pure overfit)")
+    p.add_argument("--guidance-scale", type=float, default=1.0,
+                   help="CFG scale at sampling (the reference's production "
+                        "protocol is 5, scripts/realism_test_bench.sh)")
+    p.add_argument("--sampler", default="ddim", choices=["ddim", "plms"])
+    p.add_argument("--sample-segments", type=int, default=1,
+                   help=">1 samples through pipeline.SegmentedInpaint "
+                        "(the execute-time-limit path)")
+    p.add_argument("--calibrate-latent-scale", action="store_true",
+                   help="after the VAE phase, rescale scale_factor / "
+                        "lidar_scale_factor so the scaled GT latents are "
+                        "unit-std per modality (the calibration the "
+                        "reference's 0.18215 encodes for ITS pretrained "
+                        "VAE, ddpm.py scale_factor; a freshly-overfit VAE "
+                        "needs its own). Root cause of r4's lidar-vs-"
+                        "ceiling gap: lidar z-std 0.62 -> equal-absolute-"
+                        "eps training leaves ~2.6x worse RELATIVE lidar "
+                        "x0 error (logs/overfit_oracle/latent_diag.json)")
+    p.add_argument("--also-plms-segments", type=int, default=0,
+                   help=">0: after the main scoring, score the SAME "
+                        "trained weights a second time through segmented "
+                        "PLMS with this many segments (the reference's "
+                        "default sampler through the execute-limit path)")
     p.add_argument("--outdir", default="logs/overfit_oracle")
     p.add_argument("--camera-gate-db", type=float, default=2.0,
                    help="required camera PSNR margin over the do-nothing "
@@ -97,7 +123,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     cfg = load_config([opt.config], [s for s in opt.overrides if "=" in s])
-    cfg["model"]["params"]["u_cond_percent"] = 0.0  # no CFG dropout: overfit
+    # 0.0 = pure overfit; 0.2 = the reference's production CFG-dropout
+    # protocol (ddpm.py:1052-1056), whose uncond vectors the
+    # --guidance-scale 5 sampling then exercises
+    cfg["model"]["params"]["u_cond_percent"] = opt.u_cond_percent
     # full-UNet gradients need rematerialization headroom on a 16 GB chip
     # (PROFILE.md: remat mandatory for full-graph training at 512), and so
     # do the VAE overfit backwards at 256^2: the lidar adapter's four extra
@@ -130,10 +159,29 @@ def main(argv=None):
     import pickle
 
     phase_ckpt = os.path.join(opt.outdir, "phase_vae.pkl")
+    # Everything the VAE phase's outputs depend on: a checkpoint written
+    # under a different run configuration is ignored (with a warning), not
+    # silently reused — --fresh forces a rebuild regardless.
+    fingerprint = {
+        "config": opt.config, "objects": opt.objects,
+        "vae_steps": opt.vae_steps, "vae_minibatch": opt.vae_minibatch,
+        "sample_steps": opt.sample_steps,
+    }
+    saved = None
     if os.path.exists(phase_ckpt) and not opt.fresh:
         t0 = time.time()
         with open(phase_ckpt, "rb") as f:
             saved = pickle.load(f)
+        if "fingerprint" not in saved:
+            print(f"WARNING: {phase_ckpt} predates fingerprinting — "
+                  "reusing it on trust; pass --fresh if its run "
+                  "configuration differed", flush=True)
+        elif saved["fingerprint"] != fingerprint:
+            print(f"WARNING: {phase_ckpt} was written by a different run "
+                  f"configuration ({saved.get('fingerprint')} != "
+                  f"{fingerprint}) — rebuilding the VAE phase", flush=True)
+            saved = None
+    if saved is not None:
         params = jax.device_put(saved["params"], dev)
         untrained, vae_final = saved["untrained"], saved["vae_final"]
         print(f"resumed post-VAE phase from {phase_ckpt} "
@@ -167,13 +215,35 @@ def main(argv=None):
         with open(phase_ckpt, "wb") as f:
             pickle.dump(
                 {"params": jax.device_get(params), "untrained": untrained,
-                 "vae_final": vae_final}, f,
+                 "vae_final": vae_final, "fingerprint": fingerprint}, f,
             )
         print(f"phase checkpoint written: {phase_ckpt}", flush=True)
 
     ceiling = vae_ceiling(model, params, batch)
     print(f"VAE round-trip ceiling (masked PSNR): "
           f"{ {k: round(v, 2) for k, v in ceiling.items()} }", flush=True)
+    from mobi_tpu.overfit_oracle import latent_stats, sample_latent_mse
+
+    z_stats = latent_stats(model, params, batch)
+    print(f"scaled GT latent stats: "
+          f"{ {k: round(v, 3) for k, v in z_stats.items()} }", flush=True)
+
+    if opt.calibrate_latent_scale:
+        import dataclasses as _dc
+
+        mcfg = _dc.replace(
+            mcfg,
+            scale_factor=mcfg.scale_factor
+            / max(z_stats["camera_z_std"], 1e-6),
+            lidar_scale_factor=mcfg.lidar_scale_factor
+            / max(z_stats["lidar_z_std"], 1e-6),
+        )
+        model = MobiDiffusion(mcfg)  # params are scale-independent
+        z_stats_cal = latent_stats(model, params, batch)
+        print(f"calibrated scales: camera {mcfg.scale_factor:.4f}, lidar "
+              f"{mcfg.lidar_scale_factor:.4f}; post-calibration stats: "
+              f"{ {k: round(v, 3) for k, v in z_stats_cal.items()} }",
+              flush=True)
 
     t0 = time.time()
     params, diff_final = overfit_diffusion(
@@ -195,14 +265,38 @@ def main(argv=None):
     from mobi_tpu.pipeline import make_inpaint_pipeline
 
     pipeline = make_inpaint_pipeline(
-        model, num_steps=opt.sample_steps, guidance_scale=1.0,
-        sampler="ddim", deterministic_encode=True,
+        model, num_steps=opt.sample_steps, guidance_scale=opt.guidance_scale,
+        sampler=opt.sampler, deterministic_encode=True,
+        sample_segments=opt.sample_segments,
     )
     trained = sample_and_score(
         model, params, batch, num_steps=opt.sample_steps, pipeline=pipeline
     )
-    print(f"trained:   { {k: round(v, 2) for k, v in trained.items()} } "
+    print(f"trained ({opt.sampler}, scale {opt.guidance_scale}, "
+          f"segments {opt.sample_segments}): "
+          f"{ {k: round(v, 2) for k, v in trained.items()} } "
           f"({time.time() - t0:.0f}s)", flush=True)
+
+    # decoder-independent latent-space diagnosis of any modality gap
+    lat_mse = sample_latent_mse(
+        model, params, batch, num_steps=opt.sample_steps,
+        guidance_scale=opt.guidance_scale, sampler=opt.sampler,
+    )
+    print(f"sampled-latent MSE vs GT latents: "
+          f"{ {k: round(v, 4) for k, v in lat_mse.items()} }", flush=True)
+
+    trained_plms_seg = None
+    if opt.also_plms_segments:
+        t0 = time.time()
+        trained_plms_seg = sample_and_score(
+            model, params, batch, num_steps=opt.sample_steps,
+            guidance_scale=opt.guidance_scale, sampler="plms",
+            sample_segments=opt.also_plms_segments,
+        )
+        print(f"trained (plms, scale {opt.guidance_scale}, segments "
+              f"{opt.also_plms_segments}): "
+              f"{ {k: round(v, 2) for k, v in trained_plms_seg.items()} } "
+              f"({time.time() - t0:.0f}s)", flush=True)
 
     # evidence grids: GT | masked input | sampled inpaint, one file/object
     out = pipeline(params, batch, jax.random.PRNGKey(7))
@@ -222,6 +316,18 @@ def main(argv=None):
         "objects": opt.objects,
         "vae_steps": opt.vae_steps,
         "diff_steps": opt.diff_steps,
+        "u_cond_percent": opt.u_cond_percent,
+        "guidance_scale": opt.guidance_scale,
+        "sampler": opt.sampler,
+        "sample_segments": opt.sample_segments,
+        "latent_stats": z_stats,
+        "calibrated_scales": (
+            {"scale_factor": mcfg.scale_factor,
+             "lidar_scale_factor": mcfg.lidar_scale_factor}
+            if opt.calibrate_latent_scale else None
+        ),
+        "sampled_latent_mse": lat_mse,
+        "trained_plms_segmented": trained_plms_seg,
         "vae_final_l1": vae_final,
         "vae_ceiling_masked_psnr": ceiling,
         "diffusion_final_loss": diff_final["final_loss"],

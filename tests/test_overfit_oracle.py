@@ -36,7 +36,9 @@ from tests.test_diffusion import TINY, TinyCondStage
 
 
 @pytest.fixture(scope="module")
-def oracle_run(cpu_devices):
+def oracle_base(cpu_devices):
+    """Shared phase 1+2: untrained scores + overfit VAEs (reused by both
+    the pure-overfit and the production-CFG-protocol diffusion runs)."""
     cfg = dataclasses.replace(TINY, u_cond_percent=0.0)
     model = MobiDiffusion(cfg)
     model.cond_model = TinyCondStage(conditions=("ref_image", "ref_bbox"))
@@ -45,11 +47,43 @@ def oracle_run(cpu_devices):
 
     untrained = sample_and_score(model, params, batch, num_steps=10)
     params, vae_final = overfit_vaes(model, params, batch, steps=400)
+    # host copies: both downstream diffusion fixtures run DONATED train
+    # steps (overfit_diffusion), which would delete shared device buffers
+    # out from under the other fixture
+    return model, jax.device_get(params), batch, untrained, vae_final
+
+
+@pytest.fixture(scope="module")
+def oracle_run(oracle_base):
+    model, params, batch, untrained, vae_final = oracle_base
     params, diff_final = overfit_diffusion(
         model, params, batch, steps=800, lr=3e-4
     )
     trained = sample_and_score(model, params, batch, num_steps=10)
     return untrained, trained, vae_final, diff_final
+
+
+@pytest.fixture(scope="module")
+def oracle_cfg_run(oracle_base):
+    """The PRODUCTION protocol: CFG-dropout training (u_cond_percent=0.2,
+    reference ddpm.py:1052-1056) then guided sampling at scale 5 through
+    segmented PLMS (scripts/realism_test_bench.sh's --plms --scale 5).
+    Proves the uncond vectors train into something that GUIDES — numeric
+    golden parity of the CFG math cannot show that."""
+    base_model, params, batch, untrained, _ = oracle_base
+    cfg = dataclasses.replace(TINY, u_cond_percent=0.2)
+    model = MobiDiffusion(cfg)
+    model.cond_model = base_model.cond_model
+    params, diff_final = overfit_diffusion(
+        model, params, batch, steps=800, lr=3e-4, seed=3
+    )
+    trained = sample_and_score(
+        model, params, batch, num_steps=10, guidance_scale=5.0,
+        sampler="plms", sample_segments=5,
+    )
+    # same weights, unguided DDIM — isolates what guidance adds/destroys
+    unguided = sample_and_score(model, params, batch, num_steps=10)
+    return untrained, trained, unguided, diff_final
 
 
 def test_vae_overfit_reconstructs(oracle_run):
@@ -81,3 +115,22 @@ def test_sampled_inpaints_beat_baselines(oracle_run):
     # lidar depth error (the reference's on-line metric family,
     # ddpm.py:1545-1597) collapses vs untrained
     assert trained["lidar_depth_mse"] < 0.3
+
+
+def test_production_protocol_guides_not_garbles(oracle_cfg_run):
+    """CFG-dropout training + scale-5 guided segmented-PLMS sampling (the
+    reference's realism-bench protocol) must still inpaint: beat the
+    do-nothing baseline and the untrained model in both modalities, and
+    guidance must not collapse the result vs the same weights unguided."""
+    untrained, trained, unguided, diff_final = oracle_cfg_run
+    assert diff_final["final_loss"] < 0.2, diff_final
+
+    c, c_base = trained["camera_psnr"], trained["camera_psnr_baseline"]
+    l, l_base = trained["lidar_psnr"], trained["lidar_psnr_baseline"]
+    assert c > c_base + 1.5, (trained, unguided)
+    assert l > l_base + 0.5, (trained, unguided)
+    assert c > untrained["camera_psnr"] + 3.0, (trained, untrained)
+    # guidance at scale 5 extrapolates eps; on an overfit set it may cost
+    # a little fidelity but must not destroy the inpaint
+    assert c > unguided["camera_psnr"] - 3.0, (trained, unguided)
+    assert l > unguided["lidar_psnr"] - 3.0, (trained, unguided)
