@@ -30,6 +30,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Softmax exponential variant for the forward kernel (A/B, see PROFILE.md
+# round-7 "flash kernel ceiling decomposition"):
+#   exp          — natural-base online softmax (default)
+#   exp2         — base-2 online softmax: scale folds in log2(e), the
+#                  running max / renorm / sum all live in the base-2 log
+#                  domain, and acc/l cancels the base exactly — numerics
+#                  match exp to fp32 rounding while the VPU evaluates the
+#                  cheaper 2^x
+#   noexp-timing — DIAGNOSTIC ONLY: replaces exp with an affine map to
+#                  measure the transcendental's share of kernel time;
+#                  output values are garbage
+_EXP_MODE = os.environ.get("MOBI_FLASH_EXP", "exp")
+
 # Transposed-accumulator AV: keep the output accumulator as [D, TQ] so the
 # P·V matmul contracts over TK with N=TQ instead of producing a [TQ, D=40]
 # result whose minor dim is lane-padded to 128. MEASURED SLOWER on the v5e
@@ -78,6 +91,18 @@ def _flash_kernel_tav(q_ref, k_ref, v_ref, o_ref, *, tile_k: int, scale: float):
     o_ref[0] = out_t.T.astype(o_ref.dtype)
 
 
+def _exp_fn():
+    """(exp-like fn, scale multiplier) for the configured _EXP_MODE. In
+    exp2 mode the logits are pre-scaled by log2(e), so the whole online-
+    softmax recurrence (max, renorm alpha, sum) runs in the base-2 log
+    domain; acc/l cancels the base exactly."""
+    if _EXP_MODE == "exp2":
+        return jnp.exp2, 1.4426950408889634  # log2(e)
+    if _EXP_MODE == "noexp-timing":
+        return (lambda x: x * 1e-3 + 0.5), 1.0
+    return jnp.exp, 1.0
+
+
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, tile_k: int, scale: float):
     # Dots run in the INPUT dtype (bf16 on the production path) with fp32
     # accumulation — the v5e MXU is native bf16xbf16->fp32; upcasting the
@@ -87,6 +112,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, tile_k: int, scale: float):
     tq, d = q.shape
     n = k_ref.shape[1]
     num_k = n // tile_k
+    exp_f, log_base = _exp_fn()
+    scale = scale * log_base
 
     def body(j, carry):
         acc, m_prev, l_prev = carry
@@ -98,8 +125,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, tile_k: int, scale: float):
         ) * scale                                     # [TQ, TK] fp32
         m_cur = jnp.max(logits, axis=-1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(logits - m_new)
-        alpha = jnp.exp(m_prev - m_new)
+        p = exp_f(logits - m_new)
+        alpha = exp_f(m_prev - m_new)
         l_new = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc = acc * alpha + jax.lax.dot_general(
             p.astype(v.dtype), v, (((1,), (0,)), ((), ())),

@@ -79,6 +79,17 @@ def main():
 
     results = {}
     for variant in args.variants.split(","):
+        # "flash@exp2" / "flash@noexp-timing" select the flash kernel's
+        # softmax-exponential variant (ops/flash_attention._EXP_MODE) for
+        # the ceiling-decomposition A/B; the flag is read at trace time so
+        # it can be flipped between freshly-jitted variants in one process
+        import mobi_tpu.ops.flash_attention as fa
+
+        fa._EXP_MODE = "exp"
+        name = variant
+        if variant.startswith("flash@"):
+            fa._EXP_MODE = variant.split("@", 1)[1]
+            variant = "flash"
         if variant == "flash":
             model = build("auto")
         elif variant == "xla":
@@ -87,6 +98,7 @@ def main():
             model = build("auto", attention_resolutions=())
         else:
             raise SystemExit(f"unknown variant {variant}")
+        variant = name
 
         fwd = jax.jit(lambda p, x, t, c, m=model: m.apply(p, x, t, c))
         print(f"[{variant}] compiling...", flush=True)

@@ -199,3 +199,25 @@ def test_flash_bwd_extreme_logits_stable():
     for a, b_ in ((dq, rdq), (dk, rdk), (dv, rdv)):
         assert np.all(np.isfinite(np.asarray(a)))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-3)
+
+
+def test_flash_exp2_mode_matches_exp(monkeypatch):
+    """The base-2 online softmax (MOBI_FLASH_EXP=exp2 — scale folds in
+    log2(e); max/renorm/sum live in the base-2 log domain; acc/l cancels
+    the base) must match the natural-base kernel to fp32 rounding,
+    including under extreme logits."""
+    import mobi_tpu.ops.flash_attention as fa
+
+    shape = (2, 256, 4, 40)
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], shape, jnp.float32) * 8.0  # extreme logits
+    k = jax.random.normal(ks[1], shape, jnp.float32) * 8.0
+    v = jax.random.normal(ks[2], shape, jnp.float32)
+
+    monkeypatch.setattr(fa, "_EXP_MODE", "exp")
+    base = np.asarray(_flash_fwd_impl(q, k, v, interpret=True))
+    monkeypatch.setattr(fa, "_EXP_MODE", "exp2")
+    out2 = np.asarray(_flash_fwd_impl(q, k, v, interpret=True))
+    ref = np.asarray(_xla_reference(q, k, v))
+    np.testing.assert_allclose(out2, base, atol=2e-5)
+    np.testing.assert_allclose(out2, ref, atol=2e-5)
