@@ -61,8 +61,16 @@ def main():
     t0 = time.perf_counter()
     # init with an fp32 clone: bf16 execution is software-emulated on CPU
     base = build().clone(dtype=jnp.float32)
-    with jax.default_device(jax.devices("cpu")[0]):
-        params = base.init(jax.random.PRNGKey(0), x[:2], t[:2], ctx[:2])
+
+    def _init(key):
+        with jax.default_device(jax.devices("cpu")[0]):
+            return base.init(key, x[:2], t[:2], ctx[:2])
+
+    from mobi_tpu.utils.param_cache import cached_init
+
+    params = cached_init(
+        _init, jax.random.PRNGKey(0), "profile_unet:" + repr(base)
+    )
     if args.param_dtype == "bf16":
         params = jax.tree.map(
             lambda p: p.astype(jnp.bfloat16)
