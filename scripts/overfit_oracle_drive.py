@@ -80,15 +80,16 @@ def main(argv=None):
                    help=">1 samples through pipeline.SegmentedInpaint "
                         "(the execute-time-limit path)")
     p.add_argument("--calibrate-latent-scale", action="store_true",
-                   help="after the VAE phase, rescale scale_factor / "
+                   help="EXPERIMENT FLAG, measured NEGATIVE on the v5e: "
+                        "after the VAE phase, rescale scale_factor / "
                         "lidar_scale_factor so the scaled GT latents are "
-                        "unit-std per modality (the calibration the "
-                        "reference's 0.18215 encodes for ITS pretrained "
-                        "VAE, ddpm.py scale_factor; a freshly-overfit VAE "
-                        "needs its own). Root cause of r4's lidar-vs-"
-                        "ceiling gap: lidar z-std 0.62 -> equal-absolute-"
-                        "eps training leaves ~2.6x worse RELATIVE lidar "
-                        "x0 error (logs/overfit_oracle/latent_diag.json)")
+                        "unit-std per modality. Equalizes the training "
+                        "eps signal exactly as intended but DEGRADES "
+                        "lidar sampling below the do-nothing baseline at "
+                        "every guidance scale (the lidar-vs-ceiling gap "
+                        "is sampling-trajectory drift, not training-"
+                        "signal imbalance — PROFILE.md 'Lidar-vs-ceiling "
+                        "gap', docs/evidence/overfit_oracle_r5_calibrated/)")
     p.add_argument("--also-plms-segments", type=int, default=0,
                    help=">0: after the main scoring, score the SAME "
                         "trained weights a second time through segmented "
